@@ -1,0 +1,112 @@
+"""Golden end-to-end (SURVEY.md §5.2.3/5.2.4): seeded synthetic transcripts with
+injected violations -> detected must equal injected, exactly, per rule; verdicts
+attribute to the right partitions; the hot conversation doesn't change verdicts."""
+
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.compile import compile_spec
+from owl2jsonschema_js_spark.docs import transcript_constraints
+from owl2jsonschema_js_spark.runner import ValidationRunner
+from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+
+def _run(spark, fixture60):
+    df = fixture60.to_spark(spark)
+    catalog = fixture60.catalog_spark(spark)
+    spec = ConstraintSpec.parse(transcript_constraints())
+    plan = compile_spec(spec, df.schema)
+    assert not plan.schema_issues
+    runner = ValidationRunner(plan, n_parts=8)
+    return runner.run(df, catalog=catalog), df
+
+
+def test_detected_equals_injected(spark, fixture60):
+    result, _ = _run(spark, fixture60)
+    got = {
+        r["rule_id"]: r["n"]
+        for r in result.violations.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == fixture60.expected_counts()
+
+
+def test_violation_rows_identify_injected_turns(spark, fixture60):
+    result, _ = _run(spark, fixture60)
+    got = {
+        (r["rule_id"], r["conv_id"], r["turn_idx"])
+        for r in result.violations.collect()
+    }
+    exp = {(v["rule_id"], v["conv_id"], v["turn_idx"]) for v in fixture60.expected}
+    assert got == exp
+
+
+def test_per_partition_verdicts(spark, fixture60):
+    result, df = _run(spark, fixture60)
+    verdicts = result.collect_verdicts()
+    # every derived partition is present and row counts add up
+    assert sum(v["n_rows"] for v in verdicts.values()) == df.count()
+    n_bad_parts = sum(1 for v in verdicts.values() if not v["pass"])
+    # injected violations live in 5 distinct conversations -> at most 5 bad parts
+    assert 1 <= n_bad_parts <= 5
+    total = sum(c for v in verdicts.values() for c in v["rules"].values())
+    assert total == len(fixture60.expected)
+
+
+def test_checked_ok_all_consistent(spark, fixture60):
+    result, df = _run(spark, fixture60)
+    n_bad_rows = result.checked.where(~F.col("ok_all")).count()
+    row_rule_ids = {"role.enum", "text.required"}
+    exp_rows = sum(1 for v in fixture60.expected if v["rule_id"] in row_rule_ids)
+    assert n_bad_rows == exp_rows
+
+
+def test_clean_table_passes(spark):
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_pandas
+
+    fx = gen_transcripts_pandas(n_convs=10, seed=7)
+    # strip the 5 violation conversations entirely
+    bad_convs = {v["conv_id"] for v in fx.expected}
+    pdf = fx.pdf[~fx.pdf.conv_id.isin(bad_convs)]
+    df = spark.createDataFrame(pdf).withColumn("turn_idx", F.col("turn_idx").cast("int"))
+    spec = ConstraintSpec.parse(transcript_constraints())
+    plan = compile_spec(spec, df.schema)
+    res = ValidationRunner(plan, n_parts=4).run(df, catalog=fx.catalog_spark(spark))
+    assert res.violations.count() == 0
+    assert all(v["pass"] for v in res.collect_verdicts().values())
+
+
+def test_hot_conversation_skew_same_verdicts(spark):
+    """SURVEY.md §5.2.6: one hot conv (~30% of rows) must not change verdicts
+    vs recomputing per-rule counts; exercises full-key uniqueness path."""
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_pandas
+
+    fx = gen_transcripts_pandas(n_convs=40, seed=11, hot_frac=0.30)
+    df = fx.to_spark(spark)
+    hot = df.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    assert hot["count"] / df.count() > 0.2  # skew fixture is real
+    spec = ConstraintSpec.parse(transcript_constraints())
+    plan = compile_spec(spec, df.schema)
+    res = ValidationRunner(plan, n_parts=8).run(df, catalog=fx.catalog_spark(spark))
+    got = {
+        r["rule_id"]: r["n"]
+        for r in res.violations.groupBy("rule_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == fx.expected_counts()
+
+
+def test_spark_native_generator_validates(spark):
+    """The scale generator's clean rows pass; injected hash-rate violations are
+    detected at the expected order of magnitude."""
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_spark, tool_catalog_spark
+
+    df = gen_transcripts_spark(spark, n_rows=20_000, n_convs=500, violations_per_mille=2)
+    spec = ConstraintSpec.parse(transcript_constraints())
+    plan = compile_spec(spec, df.schema)
+    res = ValidationRunner(plan, n_parts=8).run(df, catalog=tool_catalog_spark(spark))
+    counts = {r["rule_id"]: r["n"] for r in
+              res.violations.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+    assert 10 <= counts.get("role.enum", 0) <= 120      # ~2 per mille of 20k
+    assert 10 <= counts.get("text.required", 0) <= 120
+    assert counts.get("table.referential", 0) >= 1
+    # contiguity holds by construction for all conversations
+    assert "table.contiguity" not in counts
+    assert "table.unique" not in counts
