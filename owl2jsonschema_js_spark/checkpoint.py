@@ -1,0 +1,143 @@
+"""Per-partition checkpoint manifest: resumable validation runs with lineage.
+
+North rule (BASELINE.json:6,14): "resumable from a per-partition checkpoint
+manifest carrying lineage (snapshot-id, partition spec, constraint version)
+and metrics". Entries are keyed (snapshot_id | partition | constraint_version);
+a relaunch anti-joins pending partitions and re-validates only those; writes
+are idempotent per partition so kill/resume converges to a manifest byte-equal
+to an uninterrupted run's (canonical sorted-keys JSON, atomic tmp+rename —
+mirroring the reference's deterministic serializer, lib/pretty-json.js:36-38).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from owl2jsonschema_js_spark.compile import RulePlan
+from owl2jsonschema_js_spark.runner import ValidationRunner
+
+
+@dataclass
+class Manifest:
+    path: str
+    entries: dict[str, dict] = field(default_factory=dict)
+    meta: dict = field(default_factory=dict)
+
+    @staticmethod
+    def key(snapshot_id: str, part: str, version: str) -> str:
+        return f"{snapshot_id}|{part}|{version}"
+
+    @classmethod
+    def load(cls, path: str) -> "Manifest":
+        if os.path.exists(path):
+            with open(path) as f:
+                blob = json.load(f)
+            return cls(path=path, entries=blob.get("entries", {}), meta=blob.get("meta", {}))
+        return cls(path=path)
+
+    def completed_parts(self, snapshot_id: str, version: str) -> set[str]:
+        out = set()
+        for k, v in self.entries.items():
+            snap, part, ver = k.split("|", 2)
+            if snap == snapshot_id and ver == version and v.get("status") == "done":
+                out.add(part)
+        return out
+
+    def record(self, snapshot_id: str, part: str, version: str,
+               verdict: dict, metrics: dict | None = None) -> None:
+        self.entries[self.key(snapshot_id, part, version)] = {
+            "status": "done",
+            "verdict": verdict,
+            "metrics": metrics or {},
+            "lineage": {
+                "snapshot_id": snapshot_id,
+                "partition": part,
+                "constraint_version": version,
+            },
+        }
+
+    def write(self) -> None:
+        blob = json.dumps({"meta": self.meta, "entries": self.entries},
+                          sort_keys=True, indent=1)
+        d = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(blob)
+        os.replace(tmp, self.path)
+
+    def canonical(self) -> str:
+        return json.dumps({"meta": self.meta, "entries": self.entries}, sort_keys=True)
+
+
+class ResumableValidator:
+    """Orchestrates validate-with-resume over a partitioned table."""
+
+    def __init__(self, plan: RulePlan, manifest: Manifest, snapshot_id: str,
+                 part_col: str = "part", n_parts: int = 16):
+        self.plan = plan
+        self.manifest = manifest
+        self.snapshot_id = snapshot_id
+        self.runner = ValidationRunner(plan, part_col=part_col, n_parts=n_parts)
+        self.part_col = part_col
+
+    def run(self, df: DataFrame, catalog: DataFrame | None = None,
+            fail_after_parts: int | None = None) -> dict:
+        """Validate pending partitions; record each into the manifest.
+
+        ``fail_after_parts`` simulates a mid-run crash for resume tests
+        (SURVEY.md §5.2.5): only the first K partition verdicts are recorded
+        before raising.
+
+        Partition-pruning note: the pending-partition filter is a plain
+        `~part.isin(done)` predicate — on a partitioned source (Iceberg/
+        parquet partition dirs) Catalyst turns it into partition pruning, so
+        resumed runs do not rescan completed partitions.
+        """
+        version = self.plan.spec.version
+        df = self.runner._with_partition(df)
+        done = self.manifest.completed_parts(self.snapshot_id, version)
+        pending = df
+        if done:
+            pending = df.where(~df[self.part_col].cast("string").isin(*done))
+
+        result = self.runner.run(pending, catalog=catalog)
+        verdicts = result.collect_verdicts()
+
+        recorded = 0
+        for part in sorted(verdicts):
+            if fail_after_parts is not None and recorded >= fail_after_parts:
+                self.manifest.write()
+                raise RuntimeError(f"injected failure after {recorded} partitions")
+            v = verdicts[part]
+            self.manifest.record(
+                self.snapshot_id, part, version,
+                verdict={"pass": v["pass"], "rules": dict(sorted(v["rules"].items()))},
+                metrics={"n_rows": v["n_rows"]},
+            )
+            recorded += 1
+        self.manifest.write()
+        return verdicts
+
+
+def parquet_snapshot_id(path: str) -> str:
+    """Stand-in snapshot id for plain-parquet fixtures (no Iceberg runtime jar
+    in this sandbox — SURVEY.md §7 milestone-0 note): content hash of the file
+    listing (name, size, mtime). With Iceberg available, use the table's real
+    snapshot-id (spark.read.option('snapshot-id', ...)) instead."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]

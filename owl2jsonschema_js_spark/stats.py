@@ -1,0 +1,152 @@
+"""Single-pass per-partition column profiler (north rule: "per-column stats …
+computed in a single mapInPandas/Arrow pass per Iceberg partition",
+BASELINE.json:6).
+
+One ``repartition(part_col)`` co-locates each table partition's rows in one
+task; one ``mapInPandas`` then computes, for every profiled column
+simultaneously (amortizing the scan):
+
+  * row count, null count / null rate,
+  * min/max (numeric + lexicographic),
+  * exact distinct count via accumulated 64-bit value hashes
+    (``pd.util.hash_pandas_object``), **capped**: past ``distinct_cap`` unique
+    hashes the profiler stops tracking and flags ``distinct_overflow`` — at
+    100 TB per-partition exact distinct cannot be unbounded (SURVEY.md §7
+    hard-part #1); the companion :func:`approx_distinct` (HLL++,
+    ``approx_count_distinct``) is the scale path for global distincts,
+  * string length histogram over 32 log2-width bins + total length.
+
+Everything inside the pass is pandas/numpy vectorized — no per-row Python.
+
+Pickling note: the accumulator state class is defined INSIDE :func:`profile`
+so cloudpickle serializes it by value. A module-level class would pickle by
+reference and fail on executors that don't have this package on PYTHONPATH
+(found by driving the library from a non-repo cwd — keep it this way).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_BINS = 32
+
+PROFILE_SCHEMA = (
+    "part string, column string, n long, nulls long, "
+    "n_distinct long, distinct_overflow boolean, "
+    "min_num double, max_num double, min_str string, max_str string, "
+    "sum_len double, len_hist array<long>"
+)
+
+_EMPTY_COLUMNS = ["part", "column", "n", "nulls", "n_distinct", "distinct_overflow",
+                  "min_num", "max_num", "min_str", "max_str", "sum_len", "len_hist"]
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    part_col: str = "part",
+    distinct_cap: int = 1 << 21,
+) -> DataFrame:
+    """-> (part, column, n, nulls, n_distinct, distinct_overflow, min/max,
+    sum_len, len_hist). One Arrow pass per partition."""
+    cols = columns or [c for c in df.columns if c != part_col]
+    n_bins = N_BINS
+    empty_cols = list(_EMPTY_COLUMNS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        class ColState:
+            __slots__ = ("n", "nulls", "min_num", "max_num", "min_str", "max_str",
+                         "hashes", "overflow", "sum_len", "len_hist")
+
+            def __init__(self):
+                self.n = 0
+                self.nulls = 0
+                self.min_num = None
+                self.max_num = None
+                self.min_str = None
+                self.max_str = None
+                self.hashes: list[np.ndarray] = []
+                self.overflow = False
+                self.sum_len = 0.0
+                self.len_hist = np.zeros(n_bins, dtype=np.int64)
+
+            def update(self, s: pd.Series) -> None:
+                self.n += len(s)
+                nonnull = s.dropna()
+                self.nulls += len(s) - len(nonnull)
+                if nonnull.empty:
+                    return
+                if pd.api.types.is_numeric_dtype(nonnull) or \
+                        pd.api.types.is_datetime64_any_dtype(nonnull):
+                    vals = nonnull
+                    if pd.api.types.is_datetime64_any_dtype(vals):
+                        vals = vals.astype("int64") / 1e9  # epoch seconds
+                    lo, hi = float(vals.min()), float(vals.max())
+                    self.min_num = lo if self.min_num is None else min(self.min_num, lo)
+                    self.max_num = hi if self.max_num is None else max(self.max_num, hi)
+                else:
+                    astr = nonnull.astype(str)
+                    lo, hi = astr.min(), astr.max()
+                    self.min_str = lo if self.min_str is None else min(self.min_str, lo)
+                    self.max_str = hi if self.max_str is None else max(self.max_str, hi)
+                    lens = astr.str.len().to_numpy()
+                    self.sum_len += float(lens.sum())
+                    bins = np.minimum(n_bins - 1, np.floor(np.log2(lens + 1)).astype(np.int64))
+                    self.len_hist += np.bincount(bins, minlength=n_bins)
+                if not self.overflow:
+                    h = pd.util.hash_pandas_object(nonnull, index=False).to_numpy()
+                    self.hashes.append(h)
+                    if sum(a.size for a in self.hashes) > 4 * distinct_cap:
+                        self._compact()
+
+            def _compact(self) -> None:
+                u = np.unique(np.concatenate(self.hashes))
+                if u.size > distinct_cap:
+                    self.overflow = True
+                    self.hashes = []
+                else:
+                    self.hashes = [u]
+
+            def finish(self) -> dict:
+                n_distinct = -1
+                if not self.overflow:
+                    u = np.unique(np.concatenate(self.hashes)) if self.hashes else np.empty(0)
+                    if u.size > distinct_cap:
+                        self.overflow = True
+                    else:
+                        n_distinct = int(u.size)
+                return dict(
+                    n=self.n, nulls=self.nulls,
+                    n_distinct=n_distinct, distinct_overflow=self.overflow,
+                    min_num=self.min_num, max_num=self.max_num,
+                    min_str=self.min_str, max_str=self.max_str,
+                    sum_len=self.sum_len, len_hist=self.len_hist.tolist(),
+                )
+
+        acc: dict[tuple[str, str], ColState] = {}
+        for pdf in batches:
+            for part, sub in pdf.groupby(part_col, sort=False):
+                for c in cols:
+                    st = acc.setdefault((str(part), c), ColState())
+                    st.update(sub[c])
+        rows = [{"part": part, "column": c, **st.finish()} for (part, c), st in acc.items()]
+        yield pd.DataFrame(rows) if rows else pd.DataFrame(columns=empty_cols)
+
+    return df.repartition(F.col(part_col)).mapInPandas(run, PROFILE_SCHEMA)
+
+
+def approx_distinct(df: DataFrame, columns: list[str], part_col: str = "part") -> DataFrame:
+    """Companion HLL++ pass: global + per-partition approximate distincts via
+    approx_count_distinct (built-in partial+final aggregation — the scale path
+    past the exact-hash cap)."""
+    aggs = [F.approx_count_distinct(c).alias(c) for c in columns]
+    per_part = df.groupBy(F.col(part_col).cast("string").alias("part")).agg(*aggs)
+    stack = ", ".join(f"'{c}', `{c}`" for c in columns)
+    return per_part.selectExpr(
+        "part", f"stack({len(columns)}, {stack}) as (column, approx_distinct)")

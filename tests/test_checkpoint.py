@@ -1,0 +1,74 @@
+"""Resume tests (SURVEY.md §5.2.5): kill-after-K-partitions then relaunch ->
+manifest byte-equal to the uninterrupted run's."""
+
+import pytest
+
+from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator, parquet_snapshot_id
+from owl2jsonschema_js_spark.compile import compile_spec
+from owl2jsonschema_js_spark.docs import transcript_constraints
+from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+
+def _setup(spark, fixture60):
+    df = fixture60.to_spark(spark)
+    catalog = fixture60.catalog_spark(spark)
+    spec = ConstraintSpec.parse(transcript_constraints())
+    plan = compile_spec(spec, df.schema)
+    return df, catalog, plan
+
+
+def test_kill_resume_converges(spark, fixture60, tmp_path):
+    df, catalog, plan = _setup(spark, fixture60)
+    snap = "snapA"
+
+    # uninterrupted run
+    m_full = Manifest(str(tmp_path / "full.json"))
+    ResumableValidator(plan, m_full, snap, n_parts=8).run(df, catalog=catalog)
+
+    # killed after 2 partitions, then resumed
+    m_resume = Manifest(str(tmp_path / "resume.json"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ResumableValidator(plan, m_resume, snap, n_parts=8).run(
+            df, catalog=catalog, fail_after_parts=2)
+    m_resume = Manifest.load(str(tmp_path / "resume.json"))
+    assert 0 < len(m_resume.entries) < len(m_full.entries)
+    ResumableValidator(plan, m_resume, snap, n_parts=8).run(df, catalog=catalog)
+
+    assert m_resume.canonical() == m_full.canonical()
+
+
+def test_resume_skips_completed_partitions(spark, fixture60, tmp_path):
+    df, catalog, plan = _setup(spark, fixture60)
+    m = Manifest(str(tmp_path / "m.json"))
+    rv = ResumableValidator(plan, m, "snapB", n_parts=8)
+    first = rv.run(df, catalog=catalog)
+    assert len(first) > 0
+    # second launch: nothing pending -> no new verdicts computed
+    second = rv.run(df, catalog=catalog)
+    assert second == {}
+    # new constraint version or snapshot -> full revalidation
+    assert m.completed_parts("snapB", plan.spec.version) == set(first)
+    assert m.completed_parts("snapOTHER", plan.spec.version) == set()
+
+
+def test_manifest_lineage_fields(spark, fixture60, tmp_path):
+    df, catalog, plan = _setup(spark, fixture60)
+    m = Manifest(str(tmp_path / "m.json"))
+    ResumableValidator(plan, m, "snapC", n_parts=4).run(df, catalog=catalog)
+    for key, e in m.entries.items():
+        lin = e["lineage"]
+        assert lin["snapshot_id"] == "snapC"
+        assert lin["constraint_version"] == plan.spec.version
+        assert key == Manifest.key("snapC", lin["partition"], plan.spec.version)
+        assert "n_rows" in e["metrics"]
+        assert "pass" in e["verdict"]
+
+
+def test_parquet_snapshot_id_changes_with_content(tmp_path):
+    d = tmp_path / "t"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"xx")
+    s1 = parquet_snapshot_id(str(d))
+    (d / "b.parquet").write_bytes(b"yy")
+    s2 = parquet_snapshot_id(str(d))
+    assert s1 != s2 and len(s1) == 16
