@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+`decode_stub=True` (default) runs a deterministic fake featurizer so the
+Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
+partitioning — is real and tested; `decode_stub=False` raises
+NotImplementedError where a real decoder (PIL/torchaudio/ffmpeg) would plug in.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table in the canonical multimodal shape."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(kinds, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")).alias("kind"),
+        # payload: deterministic pseudo-bytes (sha of the id, repeated)
+        F.encode(F.repeat(F.sha2(F.concat(F.lit("m"), F.col("id")), 256), 4), "utf-8").alias("payload"),
+        F.struct(
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(512)) + 16).cast("int").alias("width"),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(512)) + 16).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(300)) + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return df
+
+
+def extract_features(media: DataFrame, feat_dim: int = 16,
+                     decode_stub: bool = True) -> DataFrame:
+    """mapInPandas featurizer: binary payload -> fixed-dim float feature.
+
+    The real path would decode (image resize / audio resample / frame sample)
+    here; the stub derives a deterministic feature from payload bytes so batch
+    shape, schema, and downstream joins are exercised for real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/torchaudio/ffmpeg — not in container")
+            feats = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                # deterministic fake embedding: binned byte means
+                chunks = np.array_split(b.astype(np.float32), feat_dim)
+                feats.append(np.array([c.mean() if c.size else 0.0 for c in chunks],
+                                      dtype=np.float32) / 255.0)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "feature": feats,
+            })
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)

@@ -1,0 +1,92 @@
+"""Similarity search over an embedding column (array<float>).
+
+ * :func:`topk_neighbors` — brute-force baseline: dot/cosine against a literal
+   query vector, global top-k. Spark compiles the ORDER BY + LIMIT into
+   TakeOrderedAndProject (per-partition top-k, then a k-row merge on the
+   driver) — already the right distributed plan; no full sort happens.
+ * :func:`pairs_above` — all pairs >= threshold via brute cross join
+   (correctness baseline; quadratic — small inputs only).
+ * :func:`rhp_lsh_pairs` — the scale path: random-hyperplane LSH. Signatures
+   computed by a vectorized pandas_udf (one numpy matmul per Arrow batch),
+   banded sign-bits -> bucket join -> exact score on candidates only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from owl2jsonschema_js_spark.functions.vectors import cosine, dot
+
+
+def topk_neighbors(
+    emb: DataFrame, query_vec: list[float], k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    metric: str = "dot", exclude_id=None,
+) -> DataFrame:
+    """(id, score) of the k nearest rows to `query_vec`."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = dot(F.col(vec_col), q) if metric == "dot" else cosine(F.col(vec_col), q)
+    out = emb.select(F.col(id_col), score.alias("score"))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def pairs_above(
+    emb: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding", metric: str = "cosine",
+) -> DataFrame:
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    fn = dot if metric == "dot" else cosine
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", fn(F.col("va"), F.col("vb")).alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
+def rhp_lsh_pairs(
+    emb: DataFrame, threshold: float = 0.8,
+    n_planes: int = 32, bands: int = 4, dim: int = 64, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs, exact-verified.
+
+    sign(V @ P) gives an n_planes-bit signature whose per-bit collision
+    probability is 1 - theta/pi; banding the bits yields candidate buckets.
+    The matmul runs in a pandas_udf (Arrow batch -> one numpy GEMM)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+    rows_per_band = n_planes // bands
+
+    @pandas_udf("array<int>")
+    def band_keys(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())            # (batch, dim)
+        bits = (m @ planes) > 0               # (batch, n_planes)
+        out = []
+        weights = 1 << np.arange(rows_per_band)
+        for r in bits:
+            out.append([int(r[b * rows_per_band:(b + 1) * rows_per_band] @ weights)
+                        for b in range(bands)])
+        return pd.Series(out)
+
+    keyed = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       F.posexplode(band_keys(F.col(vec_col))).alias("band_no", "bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return cands.select(
+        "a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("score")
+    ).where(F.col("score") >= threshold)

@@ -1,0 +1,114 @@
+"""Text analysis operators over a documents table — all JVM-side column
+expressions except the winnowing fingerprint (vectorized pandas_udf).
+
+ * token/char counts (whitespace + a BPE-ish word/punct regex),
+ * quality scores (distinct-token ratio, stopword ratio, punctuation ratio),
+ * n-gram-overlap language ID against per-language stopword profiles,
+ * winnowing document fingerprint (rolling polynomial hash + window min).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from owl2jsonschema_js_spark.operators.dedup import tokens_col
+
+# tiny per-language stopword profiles for the n-gram-overlap heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "y", "a", "en", "es", "un", "que", "no"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que", "ne", "pas"],
+}
+
+_BPE_ISH = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_count(text_col: str = "text") -> Column:
+    """BPE-flavored proxy: word runs + individual punctuation marks."""
+    return F.regexp_count(F.col(text_col), F.lit(_BPE_ISH))
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   stopwords: list[str] | None = None) -> DataFrame:
+    """(id, n_tokens, distinct_ratio, stopword_ratio, punct_ratio) — the
+    classic cheap quality signals for corpus filtering."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or LANG_PROFILES["en"])])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks).cast("double")
+    uniq = F.array_distinct(toks)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (F.size(uniq) / n).alias("distinct_ratio"),
+        (F.size(F.array_intersect(uniq, sw)).cast("double") / F.size(uniq)).alias("stopword_ratio"),
+        (F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+         / F.greatest(F.length(text_col), F.lit(1))).alias("punct_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            profiles: dict[str, list[str]] | None = None) -> DataFrame:
+    """(id, lang_pred, lang_score): argmax stopword-overlap count across
+    language profiles; deterministic tie-break on language code (ascending).
+    Pure column expressions: per-language overlap counts -> array_max over
+    (score, reversed-lang) structs."""
+    profiles = profiles or LANG_PROFILES
+    toks = tokens_col(text_col)
+    entries = []
+    for lang in sorted(profiles, reverse=True):  # so array_max tie-break = asc lang
+        sw = F.array(*[F.lit(w) for w in profiles[lang]])
+        score = F.size(F.array_intersect(toks, sw))
+        entries.append(F.struct(score.alias("score"),
+                                F.lit("".join(chr(255 - ord(c)) for c in lang)).alias("inv"),
+                                F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return docs.select(F.col(id_col), best["lang"].alias("lang_pred"),
+                       best["score"].alias("lang_score"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, fingerprints array<long>): winnowing (Schleimer et al.) — rolling
+    polynomial hash over char k-grams, min per sliding window, distinct.
+    Vectorized numpy inside a pandas_udf (Arrow batches, no per-row Python)."""
+    kk, ww = k, window
+
+    @pandas_udf("array<long>")
+    def fp(texts: pd.Series) -> pd.Series:
+        # 31-bit Mersenne modulus keeps window@weights products inside int64
+        # (256 * 2^31 * k << 2^63), so the whole k-gram hash is ONE windowed
+        # matmul per document — no per-character Python.
+        B, M = np.int64(131), np.int64((1 << 31) - 1)
+        weights = np.empty(kk, dtype=np.int64)
+        w = np.int64(1)
+        for j in range(kk - 1, -1, -1):  # k iterations, k~8
+            weights[j] = w
+            w = (w * B) % M
+        out = []
+        for t in texts.fillna(""):
+            b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.int64)
+            if b.size < kk:
+                out.append([])
+                continue
+            h = (np.lib.stride_tricks.sliding_window_view(b, kk) @ weights) % M
+            if h.size >= ww:
+                mins = np.lib.stride_tricks.sliding_window_view(h, ww).min(axis=1)
+            else:
+                mins = np.array([h.min()])
+            out.append(np.unique(mins).tolist())
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))

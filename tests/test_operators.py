@@ -1,0 +1,169 @@
+"""Dedup / similarity / textstats / multimodal operator tests on the driver
+corpora (read-only parquet) + hand-built fixtures."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dups(spark):
+    from owl2jsonschema_js_spark.operators.dedup import exact_dups
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c"), (4, "a b")], "doc_id long, text string")
+    got = {r["text"]: r["n_dups"] for r in exact_dups(df).collect()}
+    assert got == {"a b": 3}
+
+
+def test_ngram_jaccard_exact_vs_python(spark, docs):
+    """Inverted-index jaccard == brute-force python set jaccard, exactly."""
+    from owl2jsonschema_js_spark.operators.dedup import ngram_jaccard_pairs
+
+    sample = docs.limit(60)
+    got = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(sample, n=2, threshold=0.2).collect()}
+
+    rows = sample.select("doc_id", "text").collect()
+    def bigrams(t):
+        w = t.split()
+        return set(" ".join(w[i:i + 2]) for i in range(len(w) - 1))
+    exp = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            ga, gb = bigrams(a["text"]), bigrams(b["text"])
+            if not ga or not gb:
+                continue
+            jac = len(ga & gb) / len(ga | gb)
+            if jac >= 0.2:
+                key = (min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"]))
+                exp[key] = jac
+    assert got.keys() == exp.keys()
+    for k in got:
+        assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base + " ok"),             # near-dup pair
+            (2, "completely different words entirely unrelated content here"),
+            (3, base)]                                 # exact dup of 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a_id"], r["b_id"]) for r in
+             minhash_lsh_pairs(df, threshold=0.6).collect()}
+    assert (0, 3) in pairs and (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_simhash_near_dups(spark):
+    from owl2jsonschema_js_spark.operators.dedup import simhash_pairs
+
+    base = ("spark table scan join filter group sort merge window agg hash row "
+            "column batch stream data key value order part line fast slow")
+    rows = [(0, base), (1, base.replace("slow", "rapid")),
+            (2, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["hamming"] for r in simhash_pairs(df, max_hamming=16).collect()}
+    assert (0, 1) in got
+    assert not any(2 in k for k in got)
+
+
+def test_topk_neighbors_matches_numpy(spark, emb):
+    from owl2jsonschema_js_spark.operators.similarity import topk_neighbors
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[0]
+    got = [(r["vec_id"], r["score"]) for r in
+           topk_neighbors(emb, q.tolist(), k=5, exclude_id=0).collect()]
+    scores = sorted(((vid, float(v @ q)) for vid, v in vecs.items() if vid != 0),
+                    key=lambda x: (-x[1], x[0]))[:5]
+    assert [g[0] for g in got] == [s[0] for s in scores]
+    for g, s in zip(got, scores):
+        assert abs(g[1] - s[1]) < 1e-6
+
+
+def test_rhp_lsh_recall_vs_bruteforce(spark, emb):
+    from owl2jsonschema_js_spark.operators.similarity import pairs_above, rhp_lsh_pairs
+
+    brute = {(r["a_id"], r["b_id"]) for r in pairs_above(emb, 0.8).collect()}
+    lsh = {(r["a_id"], r["b_id"]) for r in
+           rhp_lsh_pairs(emb, threshold=0.8, n_planes=32, bands=8).collect()}
+    # every LSH pair is exact-verified -> subset; recall on high-sim pairs decent
+    assert lsh <= brute
+    if brute:
+        assert len(lsh) / len(brute) >= 0.5
+
+
+def test_quality_and_tokens(spark):
+    from owl2jsonschema_js_spark.operators.textstats import quality_scores, token_count
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat!"), (2, ""), (3, "x x x x")],
+        "doc_id long, text string")
+    tc = {r["doc_id"]: r["tc"] for r in df.select("doc_id", token_count().alias("tc")).collect()}
+    assert tc == {1: 6, 2: 0, 3: 4}
+    q = {r["doc_id"]: r for r in quality_scores(df.where("doc_id=1")).collect()}
+    assert q[1]["n_tokens"] == 6
+    assert abs(q[1]["distinct_ratio"] - 5 / 6) < 1e-9
+    # distinct tokens: {the, cat, sat, on, mat!}; profile stopword hit: 'the'
+    # ('mat!' keeps punctuation — whitespace tokenization)
+    assert abs(q[1]["stopword_ratio"] - 1 / 5) < 1e-9
+    assert abs(q[1]["punct_ratio"] - 1 / 23) < 1e-9
+
+
+def test_lang_id_deterministic(spark):
+    from owl2jsonschema_js_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of it"), (2, "der hund und die katze ist ein"),
+         (3, "zz qq pp")],  # no overlap anywhere -> tie -> first lang asc = 'de'
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "de"
+
+
+def test_winnow_fingerprints(spark):
+    from owl2jsonschema_js_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnop"), (3, "zzzzzzzzzzzzzzzz"), (4, "ab")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["fingerprints"] for r in winnow_fingerprints(df).collect()}
+    assert got[1] == got[2] and got[1] != got[3]
+    assert got[4] == []  # shorter than k
+    assert all(isinstance(x, int) for x in got[1])
+
+
+def test_multimodal_plumbing(spark):
+    from owl2jsonschema_js_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=32)
+    feats = extract_features(media, feat_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+        assert r["kind"] in ("image", "audio", "video")
+    # determinism
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, 16).collect()}
+    assert again[rows[0]["media_id"]] == rows[0]["feature"]
+    # the non-stub path declares itself unimplemented
+    import pytest as _pt
+    with _pt.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decode_stub=False).collect()
