@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an engine operator from SURVEY.md §2 over
+the driver corpora; ``oracle_sql()`` gives the DuckDB-runnable equivalent.
+Engine-internal paths (constraint compiler, runner, mapInPandas profiler,
+scale-path gap extractor, PSI) are routed THROUGH the engine so the oracle
+validates the engine itself, not a re-implementation.
+
+Column-name + rounding discipline: every computed column is aliased
+identically on both sides; doubles that aggregate across rows are rounded
+(engine AND oracle) so cross-engine summation order can't flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +16,577 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+EVENT_TYPES_OK = ["click", "view", "purchase", "signup"]  # 'error' -> violation
+USER_MIN_EVENTS, USER_MAX_EVENTS = 55, 80
+PROPS_PATTERN = r'^\{"k": [0-9]+\}$'
+N_PSI_BINS, PSI_BIN_W = 16, 31.25
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events mapped onto the engine's transcript shape (conv=user)."""
+    return _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
+
+def _events_constraints() -> dict:
+    return {
+        "id": "Events.json",
+        "type": "object",
+        "required": ["conv_id", "turn_idx", "role", "text", "ts"],
+        "properties": {
+            "role": {"type": "string", "enum": EVENT_TYPES_OK},
+            "text": {"type": "string", "pattern": PROPS_PATTERN},
+            "turn_idx": {"type": "integer", "minimum": 0},
+        },
+        "x-table-constraints": {
+            "uniqueItems": ["conv_id", "turn_idx"],
+            "minItems": {"per": "conv_id", "value": USER_MIN_EVENTS},
+            "maxItems": {"per": "conv_id", "value": USER_MAX_EVENTS},
+        },
+    }
+
+
+# --------------------------------------------------------------------- queries
+def q_val_enum_violations(spark, sf_dir):
+    """C10/C11 enum predicate compiled by the engine over events.event_type."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    ev = _t(spark, sf_dir, "events")
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"enum": EVENT_TYPES_OK}, F.col("event_type"),
+                        T.StringType(), spec)
+    return ev.where(~F.coalesce(ok, F.lit(False))).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("event_type").alias("observed"))
+
+
+def q_val_range_violations(spark, sf_dir):
+    """C2 numeric facet on lineitem.l_discount (minimum 0, maximum 0.05)."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"minimum": 0.0, "maximum": 0.05}, F.col("l_discount"),
+                        T.DoubleType(), spec)
+    return li.where(~F.coalesce(ok, F.lit(False))).select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_discount"))
+
+
+def q_val_pattern_violations(spark, sf_dir):
+    """C3 lexical facet: events.props must match the engine-compiled pattern."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    ev = _t(spark, sf_dir, "events")
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"pattern": PROPS_PATTERN}, F.col("props"), T.StringType(), spec)
+    return ev.where(~F.coalesce(ok, F.lit(False)) & F.col("props").isNotNull()) \
+             .select(F.col("event_id").cast("bigint").alias("event_id"),
+                     F.col("props").alias("observed"))
+
+
+def q_val_required_counts(spark, sf_dir):
+    """C7 required -> per-column null counts over events."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(*[F.sum(F.col(c).isNull().cast("bigint")).alias(c)
+                   for c in ("event_type", "props", "value")])
+    return agg.selectExpr(
+        "stack(3, 'event_type', event_type, 'props', props, 'value', value) "
+        "as (column_name, n_nulls)")
+
+
+def q_val_unique_violations(spark, sf_dir):
+    """C12 table-scope uniqueness of (l_orderkey, l_linenumber)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+                       F.col("l_linenumber").cast("bigint").alias("l_linenumber"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1))
+
+
+def q_val_referential_violations(spark, sf_dir):
+    """C19 referential integrity: lineitem.l_orderkey must resolve in orders
+    (broadcast left_anti)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    return (li.join(F.broadcast(orders), on="l_orderkey", how="left_anti")
+            .select(F.col("l_orderkey").cast("bigint").alias("l_orderkey"))
+            .distinct())
+
+
+def q_val_cardinality_violations(spark, sf_dir):
+    """C5/C6 grouped-row cardinality: events-per-user bounds."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .where((F.col("n_events") < USER_MIN_EVENTS)
+                   | (F.col("n_events") > USER_MAX_EVENTS)))
+
+
+def q_val_verdict_rollup(spark, sf_dir):
+    """Full engine path: compile events constraint doc, run ValidationRunner,
+    roll violations up per rule."""
+    from owl2jsonschema_js_spark.compile import compile_spec
+    from owl2jsonschema_js_spark.runner import ValidationRunner
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    df = _events_as_transcripts(spark, sf_dir)
+    plan = compile_spec(ConstraintSpec.parse(_events_constraints()), df.schema)
+    res = ValidationRunner(plan, n_parts=8).run(df)
+    return (res.violations.groupBy("rule_id")
+            .agg(F.count(F.lit(1)).alias("n_violations")))
+
+
+def q_profile_stats(spark, sf_dir):
+    """Engine mapInPandas profiler over lineitem, part = l_orderkey % 8
+    (DuckDB-reproducible partition key)."""
+    from owl2jsonschema_js_spark.stats import profile
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "part", F.pmod(F.col("l_orderkey"), F.lit(8)).cast("int"))
+    prof = profile(li, columns=["l_quantity", "l_discount"], part_col="part")
+    return prof.select(
+        F.col("part"), F.col("column").alias("column_name"),
+        F.col("n"), F.col("nulls"), F.col("n_distinct"),
+        F.col("min_num"), F.col("max_num"))
+
+
+def q_length_histogram(spark, sf_dir):
+    """Distributed log2 length histogram per language (drift input)."""
+    from owl2jsonschema_js_spark.drift import length_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return (length_histogram(docs, text_col="text", by="lang")
+            .select(F.col("role").alias("lang"),
+                    F.col("bin").cast("bigint").alias("bin"),
+                    F.col("count").alias("n_docs")))
+
+
+def q_turn_gap_stats(spark, sf_dir):
+    """Scale-path gap extractor (repartition+sortWithinPartitions+mapInPandas
+    with cross-batch carry) vs the oracle's lag window."""
+    from owl2jsonschema_js_spark.order import turn_gaps
+
+    df = _events_as_transcripts(spark, sf_dir)
+    gaps = turn_gaps(df)
+    return (gaps.where(F.col("gap_s").isNotNull())
+            .groupBy("conv_id")
+            .agg(F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+                 F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+                 F.count(F.lit(1)).alias("n_gaps")))
+
+
+def q_stable_order_top3(spark, sf_dir):
+    """Stable ordering window: first 3 turns per conversation."""
+    from owl2jsonschema_js_spark.order import with_stable_order
+
+    df = _events_as_transcripts(spark, sf_dir)
+    return (with_stable_order(df)
+            .where(F.col("turn_seq") <= 3)
+            .select("conv_id",
+                    F.col("turn_seq").cast("bigint").alias("turn_seq"),
+                    F.col("turn_idx").cast("bigint").alias("turn_idx")))
+
+
+def q_drift_psi(spark, sf_dir):
+    """PSI between purchase-value and view-value distributions over 16 fixed
+    linear bins, add-half smoothing — engine histogram agg + driver PSI."""
+    from owl2jsonschema_js_spark.drift import psi_from_hists
+
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.least(F.lit(N_PSI_BINS - 1),
+                      F.floor(F.col("value") / PSI_BIN_W)).cast("int")
+    hists = (ev.where(F.col("event_type").isin("purchase", "view"))
+             .groupBy(F.col("event_type"), bin_col.alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")).collect())
+    p = [0] * N_PSI_BINS
+    q = [0] * N_PSI_BINS
+    for r in hists:
+        (p if r["event_type"] == "purchase" else q)[r["b"]] = r["c"]
+    psi = round(psi_from_hists(p, q), 6)
+    return spark.createDataFrame([(psi,)], "psi double")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_tpch_q3_topk(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy(F.col("o_orderkey").cast("bigint").alias("o_orderkey"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+            .limit(10))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from owl2jsonschema_js_spark.operators.dedup import exact_dups
+
+    return exact_dups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard_bigram(spark, sf_dir):
+    """Exact word-bigram Jaccard near-dup pairs via inverted-index join."""
+    from owl2jsonschema_js_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.8)
+    return pairs.select(F.col("a_id").cast("bigint").alias("a_id"),
+                        F.col("b_id").cast("bigint").alias("b_id"),
+                        F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def q_ann_top5(spark, sf_dir):
+    """Brute-force top-5 dot-product neighbors of vec_id=0 (unit vectors ->
+    dot == cosine); plan is TakeOrderedAndProject, not a global sort."""
+    from owl2jsonschema_js_spark.operators.similarity import topk_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = topk_neighbors(emb, [float(x) for x in qvec], k=5,
+                         metric="dot", exclude_id=0)
+    return top.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.round(F.col("score"), 6).alias("score"))
+
+
+def q_text_token_count(spark, sf_dir):
+    from owl2jsonschema_js_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       token_count().cast("bigint").alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    from owl2jsonschema_js_spark.operators.textstats import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = quality_scores(docs)
+    return qs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                     F.round("distinct_ratio", 6).alias("distinct_ratio"),
+                     F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                     F.round("punct_ratio", 6).alias("punct_ratio"))
+
+
+# ------------------------------------------------------ rows-only (no SQL oracle)
+def q_transcripts_validate(spark, sf_dir):
+    """Flagship: full constraint suite over Spark-generated transcripts
+    (generator scales by construction; not SQL-expressible as one query)."""
+    from owl2jsonschema_js_spark.compile import compile_spec
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_spark, tool_catalog_spark
+    from owl2jsonschema_js_spark.docs import transcript_constraints
+    from owl2jsonschema_js_spark.runner import ValidationRunner
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    df = gen_transcripts_spark(spark, n_rows=50_000, n_convs=1_000)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    res = ValidationRunner(plan, n_parts=16).run(df, catalog=tool_catalog_spark(spark))
+    return res.verdicts
+
+
+def q_minhash_lsh_dups(spark, sf_dir):
+    from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def q_simhash_dups(spark, sf_dir):
+    from owl2jsonschema_js_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_ann_lsh_pairs(spark, sf_dir):
+    from owl2jsonschema_js_spark.operators.similarity import rhp_lsh_pairs
+
+    return rhp_lsh_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from owl2jsonschema_js_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, n=256), feat_dim=16)
+
+
+# ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: engine verdict rollup over events at sf0.001."""
+    return q_val_verdict_rollup(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "val_enum_violations": q_val_enum_violations,
+        "val_range_violations": q_val_range_violations,
+        "val_pattern_violations": q_val_pattern_violations,
+        "val_required_counts": q_val_required_counts,
+        "val_unique_violations": q_val_unique_violations,
+        "val_referential_violations": q_val_referential_violations,
+        "val_cardinality_violations": q_val_cardinality_violations,
+        "val_verdict_rollup": q_val_verdict_rollup,
+        "profile_stats": q_profile_stats,
+        "length_histogram": q_length_histogram,
+        "turn_gap_stats": q_turn_gap_stats,
+        "stable_order_top3": q_stable_order_top3,
+        "drift_psi": q_drift_psi,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard_bigram": q_dedup_jaccard_bigram,
+        "ann_top5": q_ann_top5,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        # rows-only checks (no SQL-expressible oracle)
+        "transcripts_validate": q_transcripts_validate,
+        "minhash_lsh_dups": q_minhash_lsh_dups,
+        "simhash_dups": q_simhash_dups,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ok_list = ", ".join(f"'{t}'" for t in EVENT_TYPES_OK)
+    return {
+        "val_enum_violations": f"""
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type AS observed
+            FROM events WHERE event_type NOT IN ({ok_list})
+        """,
+        "val_range_violations": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber, l_discount
+            FROM lineitem WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.05)
+        """,
+        "val_pattern_violations": r"""
+            SELECT CAST(event_id AS BIGINT) AS event_id, props AS observed
+            FROM events
+            WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+        """,
+        "val_required_counts": """
+            SELECT column_name, n_nulls FROM (
+              SELECT 'event_type' AS column_name,
+                     CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events
+              UNION ALL
+              SELECT 'props', CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+              UNION ALL
+              SELECT 'value', CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+            ) t
+        """,
+        "val_unique_violations": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "val_referential_violations": """
+            SELECT DISTINCT CAST(l.l_orderkey AS BIGINT) AS l_orderkey
+            FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL
+        """,
+        "val_cardinality_violations": f"""
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+            HAVING count(*) < {USER_MIN_EVENTS} OR count(*) > {USER_MAX_EVENTS}
+        """,
+        "val_verdict_rollup": f"""
+            SELECT rule_id, n_violations FROM (
+              SELECT 'role.enum' AS rule_id,
+                     CAST(count(*) AS BIGINT) AS n_violations
+              FROM events WHERE event_type NOT IN ({ok_list})
+              UNION ALL
+              SELECT 'text.pattern',
+                     CAST(count(*) AS BIGINT)
+              FROM events
+              WHERE props IS NOT NULL AND NOT regexp_matches(props, '^\\{{"k": [0-9]+\\}}$')
+              UNION ALL
+              SELECT 'table.cardinality', CAST(count(*) AS BIGINT) FROM (
+                SELECT user_id FROM events GROUP BY 1
+                HAVING count(*) < {USER_MIN_EVENTS} OR count(*) > {USER_MAX_EVENTS}) t
+              UNION ALL
+              SELECT 'table.unique', CAST(count(*) AS BIGINT) FROM (
+                SELECT user_id, event_id FROM events GROUP BY 1, 2 HAVING count(*) > 1) u
+              UNION ALL
+              SELECT 'text.required',
+                     CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              FROM events
+            ) r WHERE n_violations > 0
+        """,
+        "profile_stats": """
+            SELECT CAST(l_orderkey % 8 AS VARCHAR) AS part, column_name,
+                   n, nulls, n_distinct, min_num, max_num
+            FROM (
+              SELECT l_orderkey % 8 AS l_orderkey, 'l_quantity' AS column_name,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+                     CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+                     CAST(min(l_quantity) AS DOUBLE) AS min_num,
+                     CAST(max(l_quantity) AS DOUBLE) AS max_num
+              FROM lineitem GROUP BY 1
+              UNION ALL
+              SELECT l_orderkey % 8, 'l_discount',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(count(DISTINCT l_discount) AS BIGINT),
+                     CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+              FROM lineitem GROUP BY 1
+            ) t
+        """,
+        "length_histogram": """
+            SELECT lang,
+                   CAST(least(31, floor(log2(length(text) + 1))) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "turn_gap_stats": """
+            -- exact microsecond diffs: epoch(ts)-epoch(lag) subtracts two
+            -- ~1.7e9 doubles and loses the 4th decimal; date_diff is integral
+            WITH g AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY event_id, ts),
+                        ts) AS DOUBLE) / 1e6 AS gap_s
+              FROM events)
+            SELECT conv_id, round(avg(gap_s), 4) AS avg_gap_s,
+                   round(max(gap_s), 4) AS max_gap_s,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        """,
+        "stable_order_top3": """
+            SELECT conv_id, turn_seq, turn_idx FROM (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id, ts) AS BIGINT) AS turn_seq,
+                     CAST(event_id AS BIGINT) AS turn_idx
+              FROM events) t
+            WHERE turn_seq <= 3
+        """,
+        "drift_psi": f"""
+            WITH bins AS (SELECT unnest(range(0, {N_PSI_BINS})) AS b),
+            p AS (SELECT least({N_PSI_BINS - 1}, CAST(floor(value / {PSI_BIN_W}) AS INT)) AS b,
+                         count(*) AS c
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            q AS (SELECT least({N_PSI_BINS - 1}, CAST(floor(value / {PSI_BIN_W}) AS INT)) AS b,
+                         count(*) AS c
+                  FROM events WHERE event_type = 'view' GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c) FROM p) AS tp, (SELECT sum(c) FROM q) AS tq),
+            sm AS (SELECT bins.b,
+                          (COALESCE(p.c, 0) + 0.5) / (tot.tp + 0.5 * {N_PSI_BINS}) AS pp,
+                          (COALESCE(q.c, 0) + 0.5) / (tot.tq + 0.5 * {N_PSI_BINS}) AS qq
+                   FROM bins LEFT JOIN p ON bins.b = p.b LEFT JOIN q ON bins.b = q.b, tot)
+            SELECT round(sum((pp - qq) * ln(pp / qq)), 6) AS psi FROM sm
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2
+        """,
+        "tpch_q3_topk": """
+            SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY 1
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT text, CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_jaccard_bigram": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS w,
+                           unnest(range(1, len(l) + 1)) AS i FROM toks),
+            big AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS bg
+                    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            sizes AS (SELECT doc_id, count(*) AS ns FROM big GROUP BY 1),
+            shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS sh
+                       FROM big a JOIN big b ON a.bg = b.bg AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+            SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                   round(CAST(sh AS DOUBLE) / (sa.ns + sb.ns - sh), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON a_id = sa.doc_id
+            JOIN sizes sb ON b_id = sb.doc_id
+            WHERE CAST(sh AS DOUBLE) / (sa.ns + sb.ns - sh) >= 0.8
+        """,
+        "ann_top5": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            expl AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+                     FROM embeddings e, q WHERE e.vec_id != 0)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 6) AS score
+            FROM expl GROUP BY vec_id
+            ORDER BY sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) DESC, vec_id
+            LIMIT 5
+        """,
+        "text_token_count": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+                   AS n_tokens
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS uniq,
+                     text
+              FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CAST(len(uniq) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+                   round(CAST(len(list_intersect(uniq,
+                       ['the','a','of','and','to','in','is','it','that','for'])) AS DOUBLE)
+                       / len(uniq), 6) AS stopword_ratio,
+                   round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                       / greatest(length(text), 1), 6) AS punct_ratio
+            FROM t
+        """,
+    }

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness: one JSON line with per-query seconds + the north-star
+metric (turns validated/sec, full constraint suite).
+
+  SPARK_GRAFT_SF_DIR    parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS      local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_TURNS  transcripts rows for the flagship validation
+                           (default 2_000_000; pure column-expression generator,
+                           no data files needed)
+
+The flagship measures the full engine path — compile -> fused row rules ->
+uniqueness/cardinality/contiguity/referential -> verdict aggregation — over a
+skewed (hot-conversation) transcripts table, materialized via the noop sink.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+# correctness-oriented quadratic ops (brute jaccard/pairs) are excluded here;
+# their LSH scale-path counterparts are what we benchmark
+BENCH_QUERIES = [
+    "val_enum_violations",
+    "val_verdict_rollup",
+    "profile_stats",
+    "length_histogram",
+    "turn_gap_stats",
+    "stable_order_top3",
+    "drift_psi",
+    "tpch_q1",
+    "tpch_q3_topk",
+    "dedup_exact",
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "ann_top5",
+    "ann_lsh_pairs",
+    "text_quality",
+]
+
+
+def build_session(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("owl2jsonschema_js_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size targets tuned to the bench scale: the defaults (64MB advisory,
+        # 128MB splits) coalesce a few-GB workload onto 1-2 tasks and the job
+        # stops scaling past a handful of cores; these keep every stage wide
+        # enough to use the machine while still batching sanely
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_flagship(spark: SparkSession, n_turns: int) -> float:
+    """Turns validated/sec over STORED transcripts (the north-star measures
+    validation of an existing table, so generation is materialized to parquet
+    first and excluded from the timed section)."""
+    import tempfile
+
+    from owl2jsonschema_js_spark.compile import compile_spec
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_spark, tool_catalog_spark
+    from owl2jsonschema_js_spark.docs import transcript_constraints
+    from owl2jsonschema_js_spark.runner import ValidationRunner
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    path = tempfile.mkdtemp(prefix="bench_transcripts_") + "/t.parquet"
+    gen_transcripts_spark(spark, n_rows=n_turns, n_convs=max(1000, n_turns // 200)) \
+        .write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    runner = ValidationRunner(plan, n_parts=64)
+    t0 = time.perf_counter()
+    res = runner.run(df, catalog=tool_catalog_spark(spark))
+    _force(res.verdicts)
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    t_val = run_flagship(spark, n_turns)
+    times["validate_transcripts"] = round(t_val, 3)
+    total = round(sum(times.values()), 3)
+
+    print(json.dumps({
+        "metric": "turns validated/sec (full constraint suite) + headline query suite seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "turns_validated": n_turns,
+        "turns_per_sec": round(n_turns / t_val, 1),
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

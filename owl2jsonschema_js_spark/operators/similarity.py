@@ -76,8 +76,11 @@ def rhp_lsh_pairs(
                         for b in range(bands)])
         return pd.Series(out)
 
-    keyed = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       F.posexplode(band_keys(F.col(vec_col))).alias("band_no", "bucket"))
+    # signature matmul is compute-bound: spread rows even from a 1-file source
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    keyed = emb.repartition(par).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band_no", "bucket"))
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(b, (F.col("a.band_no") == F.col("b.band_no"))

@@ -149,51 +149,49 @@ class ValidationRunner:
             )
         )
 
-    def _cardinality_violations(self, df: DataFrame) -> DataFrame:
-        """C5/C6 lifted to grouped-row scope: turns-per-conversation bounds.
-        count() has map-side partial aggregation -> hot-key safe."""
+    def _group_violations(self, df: DataFrame) -> DataFrame:
+        """C5/C6 cardinality + turn_idx contiguity, fused into ONE groupBy over
+        the conversation key (same grouping => one shuffle, one pass).
+
+        Cardinality: count() bounds — map-side partial agg, hot-key safe.
+        Contiguity, window-free: turn_idx is the contiguous set {0..max} iff
+        min==0 ∧ max==n_distinct-1 (duplicates are table.unique's concern).
+        count_distinct also partial-aggregates."""
         t = self.plan.table
         k0, k1 = self.key_cols
-        gk = t.group_key or k0
+        gk = t.group_key or t.contiguous or k0
+        want_card = t.min_items is not None or t.max_items is not None
+        want_contig = bool(t.contiguous)
         grouped = df.groupBy(gk).agg(
             F.count(F.lit(1)).alias("__n"),
-            F.first(self.part_col).alias(self.part_col),
-        )
-        cond = F.lit(False)
-        if t.min_items is not None:
-            cond = cond | (F.col("__n") < t.min_items)
-        if t.max_items is not None:
-            cond = cond | (F.col("__n") > t.max_items)
-        return grouped.where(cond).select(
-            F.col(self.part_col).cast("string").alias("part"),
-            F.lit("table.cardinality").alias("rule_id"),
-            F.col(gk).alias(k0),
-            F.lit(None).cast("int").alias(k1),
-            F.col("__n").cast("string").alias("observed"),
-        )
-
-    def _contiguity_violations(self, df: DataFrame) -> DataFrame:
-        """turn_idx must be the contiguous set {0..max} within each conversation.
-        Window-free: min==0 ∧ max==n_distinct-1 ⇔ set-contiguity (duplicates are
-        table.unique's concern, not contiguity's). count_distinct has partial
-        aggregation -> hot-key safe."""
-        t = self.plan.table
-        k0, k1 = self.key_cols
-        gk = t.contiguous or k0
-        grouped = df.groupBy(gk).agg(
-            F.countDistinct(F.col(k1)).alias("__n"),
+            F.countDistinct(F.col(k1)).alias("__nd"),
             F.min(k1).alias("__mn"),
             F.max(k1).alias("__mx"),
             F.first(self.part_col).alias(self.part_col),
         )
-        bad = grouped.where((F.col("__mn") != 0) | (F.col("__mx") != F.col("__n") - 1))
-        return bad.select(
+        card_bad = F.lit(False)
+        if t.min_items is not None:
+            card_bad = card_bad | (F.col("__n") < t.min_items)
+        if t.max_items is not None:
+            card_bad = card_bad | (F.col("__n") > t.max_items)
+        contig_bad = (F.col("__mn") != 0) | (F.col("__mx") != F.col("__nd") - 1)
+
+        checks = []
+        if want_card:
+            checks.append(F.when(card_bad, F.struct(
+                F.lit("table.cardinality").alias("rule_id"),
+                F.col("__n").cast("string").alias("observed"))))
+        if want_contig:
+            checks.append(F.when(contig_bad, F.struct(
+                F.lit("table.contiguity").alias("rule_id"),
+                F.concat_ws(":", "__mn", "__mx", "__nd").alias("observed"))))
+        return grouped.select(
             F.col(self.part_col).cast("string").alias("part"),
-            F.lit("table.contiguity").alias("rule_id"),
             F.col(gk).alias(k0),
             F.lit(None).cast("int").alias(k1),
-            F.concat_ws(":", "__mn", "__mx", "__n").alias("observed"),
-        )
+            F.explode(F.array_compact(F.array(*checks))).alias("v"),
+        ).select("part", F.col("v.rule_id").alias("rule_id"), k0, k1,
+                 F.col("v.observed").alias("observed"))
 
     def _referential_violations(self, df: DataFrame, catalog: DataFrame | None) -> DataFrame:
         """C19: tool reference must resolve in the catalog — broadcast
@@ -219,37 +217,77 @@ class ValidationRunner:
 
     # ------------------------------------------------------------------- run
     def run(self, df: DataFrame, catalog: DataFrame | None = None) -> ValidationResult:
+        """Pass structure (each line = one scan/shuffle over the data):
+
+          1. row rules + per-partition row-rule fail counts: ONE scan
+             (groupBy(part) with count + sum(fail) per rule — the violation
+             rows themselves are a separate lazy DataFrame, only computed if
+             the caller materializes them for the sink).
+          2. cardinality + contiguity: ONE fused groupBy(conv).
+          3. uniqueness: window over the full key (hash repartition + sort).
+          4. referential: broadcast left_anti.
+
+        Verdict counts never recount exploded violation rows — they aggregate
+        booleans in the same scans that evaluate the rules."""
+        t = self.plan.table
         df = self._with_partition(df)
         checked = self._row_checked(df)
-        parts: list[DataFrame] = [self._row_violations(checked)]
 
-        t = self.plan.table
+        want_group = (t.min_items is not None or t.max_items is not None
+                      or bool(t.contiguous))
+        gk_card = t.group_key or self.key_cols[0]
+        gk_contig = t.contiguous or self.key_cols[0]
+        if want_group and t.contiguous and t.group_key and t.group_key != t.contiguous:
+            raise ValueError("cardinality 'per' key and contiguity key must match "
+                             f"(got {t.group_key!r} vs {t.contiguous!r})")
+
+        table_parts: list[DataFrame] = []
         if t.unique_keys:
-            parts.append(self._uniqueness_violations(df))
-        if t.min_items is not None or t.max_items is not None:
-            parts.append(self._cardinality_violations(df))
-        if t.contiguous:
-            parts.append(self._contiguity_violations(df))
+            table_parts.append(self._uniqueness_violations(df))
+        if want_group:
+            table_parts.append(self._group_violations(df))
         if t.referential:
-            parts.append(self._referential_violations(df, catalog))
+            table_parts.append(self._referential_violations(df, catalog))
 
-        violations = parts[0]
-        for p in parts[1:]:
+        # violations (lazy row-level detail for sinks)
+        violations = self._row_violations(checked)
+        for p in table_parts:
             violations = violations.unionByName(p)
 
-        n_rows = df.groupBy(F.col(self.part_col).cast("string").alias("part")) \
-                   .agg(F.count(F.lit(1)).alias("n_rows"))
-        vcounts = violations.groupBy("part", "rule_id") \
-                            .agg(F.count(F.lit(1)).alias("n_violations"))
-        verdicts = n_rows.join(vcounts, on="part", how="left").select(
-            "part", "n_rows",
-            F.coalesce("rule_id", F.lit("__none__")).alias("rule_id"),
-            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
-        ).where(F.col("rule_id") != "__none__").unionByName(
-            n_rows.select("part", "n_rows",
-                          F.lit("__none__").alias("rule_id"),
-                          F.lit(0).alias("n_violations"))
-        )
+        # verdicts: row-rule counts ride the row scan; table-rule counts are
+        # tiny aggregations of the (small) table-violation outputs
+        part_str = F.col(self.part_col).cast("string").alias("part")
+        fail_aggs = [
+            F.sum((~F.col(_safe(r.rule_id))).cast("long")).alias(_safe(r.rule_id))
+            for r in self.plan.row_rules
+        ]
+        row_verdict = checked.groupBy(part_str).agg(
+            F.count(F.lit(1)).alias("n_rows"), *fail_aggs)
+        if self.plan.row_rules:
+            stack = ", ".join(
+                f"'{r.rule_id}', `{_safe(r.rule_id)}`" for r in self.plan.row_rules)
+            row_long = row_verdict.selectExpr(
+                "part", "n_rows",
+                f"stack({len(self.plan.row_rules)}, {stack}) as (rule_id, n_violations)",
+            ).where(F.col("n_violations") > 0)
+        else:
+            row_long = row_verdict.select(
+                "part", "n_rows", F.lit("x").alias("rule_id"),
+                F.lit(0).alias("n_violations")).where(F.lit(False))
+
+        n_rows = row_verdict.select("part", "n_rows")
+        table_long = None
+        for p in table_parts:
+            c = p.groupBy("part", "rule_id").agg(F.count(F.lit(1)).alias("n_violations"))
+            table_long = c if table_long is None else table_long.unionByName(c)
+        if table_long is not None:
+            table_long = table_long.join(n_rows, "part").select(
+                "part", "n_rows", "rule_id", "n_violations")
+            row_long = row_long.unionByName(table_long)
+
+        verdicts = row_long.unionByName(
+            n_rows.select("part", "n_rows", F.lit("__none__").alias("rule_id"),
+                          F.lit(0).cast("long").alias("n_violations")))
         return ValidationResult(
             checked=checked,
             violations=violations,
