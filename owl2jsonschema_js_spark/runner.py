@@ -14,11 +14,11 @@ Execution shape (SURVEY.md §3.4):
                   makes this immune to hot-conversation skew.
   contiguity   -> min/max/count per group (NO global window needed: given key
                   uniqueness, turn_idx is contiguous iff min==0 and max==n-1).
-  uniqueness   -> hash repartition on the FULL key (conv_id, turn_idx) + count
-                  over the key partition: the full key spreads a hot conv_id
-                  across partitions (turn_idx acts as the salt), which is the
-                  salted repartition-and-sort-within-partitions strategy the
-                  north rule mandates, realized with Catalyst operators.
+  uniqueness   -> groupBy on the FULL key (conv_id, turn_idx), shuffling only
+                  key columns: hashing the full key spreads a hot conv_id
+                  across partitions (turn_idx acts as the salt) — the
+                  salted-repartition strategy the north rule mandates, realized
+                  with Catalyst operators at key width instead of row width.
   referential  -> broadcast left_anti join vs the (small) catalog (C19).
 
 All heavy paths are pure DataFrame ops — zero Python in the row loop.
@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from owl2jsonschema_js_spark.compile import RulePlan
@@ -133,20 +133,33 @@ class ValidationRunner:
 
     # ----------------------------------------------------------------- table
     def _uniqueness_violations(self, df: DataFrame) -> DataFrame:
-        """C12 at table scope: duplicate (conv_id, turn_idx). Window over the
-        FULL key == hash-repartition on the key + sort-within-partitions; the
-        hot conversation is spread by turn_idx so no task gets the whole conv."""
+        """C12 at table scope: duplicate (conv_id, turn_idx).
+
+        groupBy on the FULL key, shuffling ONLY (key, part): hash-partitioning
+        by (conv_id, turn_idx) spreads a hot conversation across tasks
+        (turn_idx is the built-in salt), and the shuffle is key-width instead
+        of row-width — a count-window over the key would shuttle the text
+        column (the bulk of the bytes) through the exchange for nothing.
+        Violation rows (one per duplicate row, matching injected==detected
+        accounting) are reconstituted with explode(sequence(1, cnt)) — no
+        join back to the wide table."""
         k0, k1 = self.key_cols
-        w = Window.partitionBy(k0, k1)
-        return (
-            df.withColumn("__kcnt", F.count(F.lit(1)).over(w))
+        dups = (
+            df.select(k0, k1, self.part_col)
+            .groupBy(k0, k1)
+            .agg(F.count(F.lit(1)).alias("__kcnt"),
+                 F.first(self.part_col).alias(self.part_col))
             .where(F.col("__kcnt") > 1)
-            .select(
+        )
+        return (
+            dups.select(
                 F.col(self.part_col).cast("string").alias("part"),
                 F.lit("table.unique").alias("rule_id"),
                 F.col(k0), F.col(k1),
                 F.col("__kcnt").cast("string").alias("observed"),
+                F.explode(F.sequence(F.lit(1), F.col("__kcnt"))).alias("__i"),
             )
+            .drop("__i")
         )
 
     def _group_violations(self, df: DataFrame) -> DataFrame:

@@ -1,0 +1,64 @@
+"""Structured Streaming validation (stretch per SURVEY.md §2.2: the north rule
+is batch-over-Iceberg; this covers incremental arrivals).
+
+Row-level rules apply unchanged to a stream — they're stateless Column
+predicates, so the same compiled RulePlan drives both batch and streaming.
+Group/table rules need state; here:
+
+ * per-window per-role cardinality with a watermark (late data beyond the
+   watermark is dropped by Spark's state eviction, the standard late-data
+   policy),
+ * violations written via foreachBatch using the SAME batch extraction code
+   (each micro-batch is a DataFrame), which keeps one implementation of the
+   violation schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.compile import RulePlan
+from owl2jsonschema_js_spark.runner import ValidationRunner
+
+
+def checked_stream(stream_df: DataFrame, plan: RulePlan) -> DataFrame:
+    """Stateless: input stream + ok__<rule> columns + ok_all."""
+    runner = ValidationRunner(plan)
+    return runner._row_checked(runner._with_partition(stream_df))
+
+
+def windowed_role_counts(
+    stream_df: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked per-window (conv_id, role) counts — the streaming analog of
+    the C5/C6 cardinality rules; late rows past the watermark are dropped."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "conv_id", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def violations_writer(plan: RulePlan, out_path: str, checkpoint_dir: str,
+                      catalog: DataFrame | None = None):
+    """foreachBatch sink: run the batch violation extraction on each
+    micro-batch and append to parquet. Returns the started query factory —
+    call .start() on the returned writer. `catalog` is the referential
+    dimension (a static DataFrame joined into every micro-batch)."""
+    runner = ValidationRunner(plan)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        res = runner.run(batch_df, catalog=catalog)
+        res.violations.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(out_path)
+
+    def attach(stream_df: DataFrame):
+        return (stream_df.writeStream
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True))
+
+    return attach

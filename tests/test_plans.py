@@ -1,0 +1,77 @@
+"""Physical-plan quality gates (brief: '.explain the plan and iterate until
+it's the plan you'd want'): pushdown reaches the scan, column pruning holds,
+the row-rule pass is one codegen stage, joins broadcast where they must."""
+
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.compile import compile_spec
+from owl2jsonschema_js_spark.docs import transcript_constraints
+from owl2jsonschema_js_spark.plans import (
+    codegen_stage_count, explain_str, has_pushed_filter, read_schema_columns)
+from owl2jsonschema_js_spark.runner import ValidationRunner
+from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")) \
+        .select("l_orderkey")
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_column_pruning_on_projection(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_uniqueness_scan_prunes_to_keys(spark, fixture60, tmp_path):
+    """The key-uniqueness pass must not read the text column from the scan."""
+    p = str(tmp_path / "t")
+    fixture60.to_spark(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    r = ValidationRunner(plan, n_parts=4)
+    v = r._uniqueness_violations(r._with_partition(df))
+    cols = read_schema_columns(v)
+    assert "text" not in cols
+    assert "conv_id" in cols and "turn_idx" in cols
+
+
+def test_row_rules_fuse_into_one_codegen_stage(spark, fixture60, tmp_path):
+    p = str(tmp_path / "t")
+    fixture60.to_spark(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    r = ValidationRunner(plan, n_parts=4)
+    checked = r._row_checked(r._with_partition(df))
+    # all row rules in a single WholeStageCodegen span over the scan
+    assert codegen_stage_count(checked) == 1
+
+
+def test_referential_uses_broadcast_join(spark, fixture60, tmp_path):
+    p = str(tmp_path / "t")
+    fixture60.to_spark(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    r = ValidationRunner(plan, n_parts=4)
+    v = r._referential_violations(r._with_partition(df), fixture60.catalog_spark(spark))
+    s = explain_str(v, "simple")
+    assert "BroadcastHashJoin" in s and "LeftAnti" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    import __spark_entry__ as e
+
+    s = explain_str(e.queries()["tpch_q3_topk"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in s
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    import __spark_entry__ as e
+
+    s = explain_str(e.queries()["tpch_q3_topk"](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in s
