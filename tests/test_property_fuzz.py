@@ -1,0 +1,105 @@
+"""Property-style tests (SURVEY.md §5.2.4) + hypothesis fuzz of the compiler.
+
+1. Across seeds: injected violation counts == detected counts, exactly.
+2. Hypothesis: random draft-4 fragments (types/bounds/enum/combinators — the
+   regex-free subset, since Java and Python regex dialects differ at the
+   edges) evaluated by the engine on random scalar values must agree with
+   python-jsonschema draft-4 row-wise.
+"""
+
+import json
+
+import jsonschema
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from owl2jsonschema_js_spark.compile import compile_schema
+from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+
+@pytest.mark.parametrize("seed", [1, 7, 99, 1234])
+def test_injected_equals_detected_across_seeds(spark, seed):
+    from owl2jsonschema_js_spark.compile import compile_spec
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_pandas
+    from owl2jsonschema_js_spark.docs import transcript_constraints
+    from owl2jsonschema_js_spark.runner import ValidationRunner
+
+    fx = gen_transcripts_pandas(n_convs=25, seed=seed)
+    df = fx.to_spark(spark)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    res = ValidationRunner(plan, n_parts=4).run(df, catalog=fx.catalog_spark(spark))
+    got = {r["rule_id"]: r["n"] for r in
+           res.violations.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+    assert got == fx.expected_counts()
+
+
+# ---------------------------------------------------------------- hypothesis
+_numeric_frag = st.fixed_dictionaries(
+    {},
+    optional={
+        "minimum": st.integers(-20, 20),
+        "maximum": st.integers(-20, 20),
+        "exclusiveMinimum": st.booleans(),
+        "exclusiveMaximum": st.booleans(),
+        "type": st.just("integer"),
+    },
+)
+
+
+def _clean(frag: dict) -> dict:
+    # draft-4: exclusive* are only valid alongside minimum/maximum
+    frag = dict(frag)
+    if "exclusiveMinimum" in frag and "minimum" not in frag:
+        del frag["exclusiveMinimum"]
+    if "exclusiveMaximum" in frag and "maximum" not in frag:
+        del frag["exclusiveMaximum"]
+    return frag
+
+
+_comb_frag = st.recursive(
+    _numeric_frag.map(_clean),
+    lambda inner: st.one_of(
+        st.fixed_dictionaries({"allOf": st.lists(inner, min_size=1, max_size=3)}),
+        st.fixed_dictionaries({"anyOf": st.lists(inner, min_size=1, max_size=3)}),
+        st.fixed_dictionaries({"oneOf": st.lists(inner, min_size=1, max_size=3)}),
+        st.fixed_dictionaries({"not": inner}),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frag=_comb_frag, values=st.lists(st.integers(-25, 25), min_size=1, max_size=8))
+def test_fuzz_combinators_agree_with_jsonschema(spark, frag, values):
+    validator = jsonschema.Draft4Validator(
+        {"type": "object", "properties": {"v": frag}})
+    expected = [validator.is_valid({"v": v}) for v in values]
+
+    df = spark.createDataFrame([(v,) for v in values],
+                               T.StructType([T.StructField("v", T.IntegerType())]))
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    pred = compile_schema(frag, F.col("v"), T.IntegerType(), spec)
+    got = [r[0] for r in df.select(F.coalesce(pred, F.lit(False))).collect()]
+    assert got == expected, f"frag={json.dumps(frag)} values={values}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(members=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                        min_size=1, max_size=5, unique=True),
+       values=st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                       min_size=1, max_size=6))
+def test_fuzz_enum_agrees_with_jsonschema(spark, members, values):
+    frag = {"enum": members}
+    validator = jsonschema.Draft4Validator({"type": "object", "properties": {"v": frag}})
+    expected = [validator.is_valid({"v": v}) for v in values]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    pred = compile_schema(frag, F.col("v"), T.StringType(), spec)
+    got = [r[0] for r in df.select(F.coalesce(pred, F.lit(False))).collect()]
+    assert got == expected
