@@ -302,6 +302,88 @@ def q_text_quality(spark, sf_dir):
                      F.round("punct_ratio", 6).alias("punct_ratio"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization: a >600s gap starts a new session (window lag + running
+    sum — the stateful-boundary pattern the reference never needed but a
+    transcript pipeline does). Output: per-user session/event counts."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ which has no direct double cast; go via ts
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    new_s = F.when(gap.isNull() | (gap > 600), F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("__new", new_s).withColumn(
+        "session_id", F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (sess.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+            .agg(F.countDistinct("session_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def q_monthly_revenue(spark, sf_dir):
+    """Date scalar functions + agg: revenue per calendar month."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_set_ops_customers(spark, sf_dir):
+    """Relational set op (EXCEPT): customers ordering in 1995 but not 1996."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995) \
+           .select(F.col("o_custkey").cast("bigint").alias("o_custkey")).distinct()
+    y96 = o.where(F.year("o_orderdate") == 1996) \
+           .select(F.col("o_custkey").cast("bigint").alias("o_custkey")).distinct()
+    return y95.subtract(y96)
+
+
+def q_json_extract_stats(spark, sf_dir):
+    """JSON scalar functions: extract props.k, aggregate per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.avg(k), 4).alias("avg_k"),
+                 F.max(k).alias("max_k"),
+                 F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint").alias("n_bad_json")))
+
+
+def q_profile_len_hist(spark, sf_dir):
+    """The mapInPandas profiler's length histogram, exploded to (part, bin, n)
+    — oracles the histogram lanes bin-by-bin against SQL."""
+    from owl2jsonschema_js_spark.stats import profile
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "part", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+    prof = profile(docs, columns=["text"], part_col="part")
+    return (prof.select("part", F.posexplode("len_hist").alias("bin", "n"))
+            .where(F.col("n") > 0)
+            .select(F.col("part").cast("string").alias("part"),
+                    F.col("bin").cast("bigint").alias("bin"),
+                    F.col("n").alias("n")))
+
+
+def q_drift_ks(spark, sf_dir):
+    """KS statistic between purchase and view value distributions (16 linear
+    bins) — engine histogram agg + driver KS vs a SQL window-ECDF oracle."""
+    from owl2jsonschema_js_spark.drift import ks_from_hists
+
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.least(F.lit(N_PSI_BINS - 1),
+                      F.floor(F.col("value") / PSI_BIN_W)).cast("int")
+    hists = (ev.where(F.col("event_type").isin("purchase", "view"))
+             .groupBy("event_type", bin_col.alias("b"))
+             .agg(F.count(F.lit(1)).alias("c")).collect())
+    p = [0] * N_PSI_BINS
+    q = [0] * N_PSI_BINS
+    for r in hists:
+        (p if r["event_type"] == "purchase" else q)[r["b"]] = r["c"]
+    ks = round(ks_from_hists(p, q), 6)
+    return spark.createDataFrame([(ks,)], "ks double")
+
+
 # ------------------------------------------------------ rows-only (no SQL oracle)
 def q_transcripts_validate(spark, sf_dir):
     """Flagship: full constraint suite over Spark-generated transcripts
@@ -370,6 +452,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_top5": q_ann_top5,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
+        "sessionize": q_sessionize,
+        "monthly_revenue": q_monthly_revenue,
+        "set_ops_customers": q_set_ops_customers,
+        "json_extract_stats": q_json_extract_stats,
+        "profile_len_hist": q_profile_len_hist,
+        "drift_ks": q_drift_ks,
         # rows-only checks (no SQL-expressible oracle)
         "transcripts_validate": q_transcripts_validate,
         "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -571,6 +659,68 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
                    AS n_tokens
             FROM documents
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(date_diff('microsecond', lag(ts) OVER w, ts)
+                                    AS DOUBLE) / 1e6 > 600
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY 1
+        """,
+        "monthly_revenue": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "set_ops_customers": """
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders
+            WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT CAST(o_custkey AS BIGINT) FROM orders
+            WHERE year(o_orderdate) = 1996
+        """,
+        "json_extract_stats": """
+            SELECT event_type,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_json
+            FROM events GROUP BY 1
+        """,
+        "profile_len_hist": """
+            SELECT CAST(part AS VARCHAR) AS part, bin, n FROM (
+              SELECT doc_id % 4 AS part,
+                     CAST(least(31, floor(log2(length(text) + 1))) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents WHERE text IS NOT NULL GROUP BY 1, 2) t
+        """,
+        "drift_ks": f"""
+            WITH bins AS (SELECT unnest(range(0, {N_PSI_BINS})) AS b),
+            p AS (SELECT least({N_PSI_BINS - 1}, CAST(floor(value / {PSI_BIN_W}) AS INT)) AS b,
+                         count(*) AS c
+                  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            q AS (SELECT least({N_PSI_BINS - 1}, CAST(floor(value / {PSI_BIN_W}) AS INT)) AS b,
+                         count(*) AS c
+                  FROM events WHERE event_type = 'view' GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c) FROM p) AS tp, (SELECT sum(c) FROM q) AS tq),
+            sm AS (SELECT bins.b, COALESCE(p.c, 0) AS pc, COALESCE(q.c, 0) AS qc
+                   FROM bins LEFT JOIN p ON bins.b = p.b LEFT JOIN q ON bins.b = q.b),
+            c AS (SELECT b,
+                         CAST(sum(pc) OVER (ORDER BY b) AS DOUBLE) / tot.tp AS cp,
+                         CAST(sum(qc) OVER (ORDER BY b) AS DOUBLE) / tot.tq AS cq
+                  FROM sm, tot)
+            SELECT round(max(abs(cp - cq)), 6) AS ks FROM c
         """,
         "text_quality": r"""
             WITH t AS (

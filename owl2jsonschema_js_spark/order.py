@@ -36,9 +36,11 @@ def with_stable_order(df: DataFrame, order_col: str = "turn_seq") -> DataFrame:
 
 def turn_gaps_window(df: DataFrame) -> DataFrame:
     w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    # TIMESTAMP_NTZ (parquet default) has no direct double cast — go via ts
+    sec = F.col("ts").cast("timestamp").cast("double")
     return df.select(
         "conv_id", "turn_idx", "role",
-        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)).alias("gap_s"),
+        (sec - F.lag(sec).over(w)).alias("gap_s"),
     )
 
 
