@@ -418,6 +418,25 @@ def q_ann_lsh_pairs(spark, sf_dir):
     return rhp_lsh_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.8)
 
 
+def q_ann_ivf_top5(spark, sf_dir):
+    """IVF-bucketed ANN: probe 4 of 16 inverted lists (scale path; exact
+    brute-force variant is ann_top5)."""
+    from owl2jsonschema_js_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qvec, k=5, n_centroids=16, nprobe=4, exclude_id=0)
+
+
+def q_role_alternation(spark, sf_dir):
+    """Per-conversation sequence check via skew-safe streaming grouped map
+    (events mapped to transcripts; same event_type twice in a row per user)."""
+    from owl2jsonschema_js_spark.skew import role_alternation_violations
+
+    return role_alternation_violations(_events_as_transcripts(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     from owl2jsonschema_js_spark.operators.multimodal import extract_features, synth_media
 
@@ -462,7 +481,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_validate": q_transcripts_validate,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
+        "role_alternation": q_role_alternation,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ann_ivf_top5": q_ann_ivf_top5,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -721,6 +742,17 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(qc) OVER (ORDER BY b) AS DOUBLE) / tot.tq AS cq
                   FROM sm, tot)
             SELECT round(max(abs(cp - cq)), 6) AS ks FROM c
+        """,
+        "role_alternation": """
+            WITH g AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(event_id AS INT) AS turn_idx,
+                     event_type AS role,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                       AS prev_role
+              FROM events)
+            SELECT conv_id, turn_idx, role FROM g
+            WHERE role = prev_role AND role != 'system'
         """,
         "text_quality": r"""
             WITH t AS (

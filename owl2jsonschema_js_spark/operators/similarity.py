@@ -51,6 +51,50 @@ def pairs_above(
     )
 
 
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 5,
+    n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_id=None,
+) -> DataFrame:
+    """IVF (inverted-file) top-k: the scale path past brute force.
+
+    Coarse quantizer: centroids sampled deterministically from the data
+    (hash-picked rows — at cluster scale you'd k-means these; sampling is the
+    standard bootstrap and keeps the operator dependency-free). Every vector
+    is assigned to its nearest centroid with ONE numpy GEMM per Arrow batch;
+    the query scans only the `nprobe` nearest lists, so scan cost drops by
+    ~n_centroids/nprobe while recall stays high for clustered data.
+    """
+    rng_rows = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+                .withColumn("__h", F.xxhash64("id", F.lit(seed)))
+                .orderBy("__h").limit(n_centroids).collect())
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rng_rows])
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        # cosine assignment on normalized centroids
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        return pd.Series(np.argmax(mn @ cn.T, axis=1).astype("int32"))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_lists = np.argsort(-(cn @ qn))[:nprobe].tolist()
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    assigned = emb.repartition(par).select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("list_id"))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = (assigned.where(F.col("list_id").isin(probe_lists))
+           .select(F.col(id_col), dot(F.col(vec_col), qcol).alias("score")))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def rhp_lsh_pairs(
     emb: DataFrame, threshold: float = 0.8,
     n_planes: int = 32, bands: int = 4, dim: int = 64, seed: int = 42,

@@ -1,0 +1,104 @@
+"""Explicit skew-defeating primitives (north rule: "partitioning / shuffle /
+skew handled explicitly").
+
+Where the engine's built-in checks dodge skew structurally (full-key hashing
+for uniqueness, partial aggregation for counts), some per-group computations
+are NOT algebraic — collect-style state, medians, per-conversation sequence
+checks. For those:
+
+ * :func:`salted_group_agg` — classic two-phase salted aggregation for
+   algebraic-but-heavy aggs: group by (key, salt) first (spreads a hot key
+   over `n_salts` reducers), then merge the partials by key.
+ * :func:`grouped_map_sorted` — per-group sequential logic without
+   `applyInPandas`'s whole-group materialization: repartition by group key +
+   sortWithinPartitions + mapInPandas streaming with cross-batch carry, so a
+   hot conversation streams through Arrow batches instead of occupying one
+   task's memory as a single pandas group. (applyInPandas materializes each
+   group fully — fine for normal groups, fatal for a 30%-of-table one.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_group_agg(
+    df: DataFrame,
+    key: str,
+    partial_aggs: list[Column],
+    merge_aggs: list[Column],
+    n_salts: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Two-phase agg: groupBy(key, salt) -> partials; groupBy(key) -> merged.
+
+    `partial_aggs` run within (key, salt); `merge_aggs` combine the partial
+    columns per key. Salt derives from `salt_from` (a column whose values
+    spread within the hot key, e.g. turn_idx) or a hash of the whole row
+    position via monotonically_increasing_id."""
+    salt_src = F.col(salt_from) if salt_from else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(*partial_aggs)
+    return partial.groupBy(key).agg(*merge_aggs)
+
+
+def grouped_map_sorted(
+    df: DataFrame,
+    group_key: str,
+    order_cols: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming per-group map: rows arrive to `fn` sorted by
+    (group_key, *order_cols), possibly split across Arrow batches. `fn` maps a
+    batch -> output batch; a group split across Arrow batches is handled by
+    carrying the previous batch's LAST ROW in `pdf.attrs['carry']` (a dict, or
+    None for the first batch), so sequential logic stays exact across the
+    boundary without materializing the group."""
+
+    sorted_df = df.repartition(F.col(group_key)).sortWithinPartitions(
+        group_key, *order_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf.attrs["carry"] = carry
+            out = fn(pdf)
+            carry = pdf.iloc[-1].to_dict()
+            if out is not None and len(out):
+                yield out
+
+    return sorted_df.mapInPandas(run, schema)
+
+
+def role_alternation_violations(df: DataFrame) -> DataFrame:
+    """Per-conversation sequence check (the applyInPandas-class computation
+    from the north star, done skew-safely): flag turns where the same
+    non-system role speaks twice in a row. Pure vectorized shift-compare
+    inside the streaming grouped map — no per-row Python, no whole-group
+    materialization."""
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        carry = pdf.attrs.get("carry")
+        prev_conv = pdf["conv_id"].shift()
+        prev_role = pdf["role"].shift()
+        if carry is not None:
+            prev_conv.iloc[0] = carry["conv_id"]
+            prev_role.iloc[0] = carry["role"]
+        bad = pdf["conv_id"].eq(prev_conv) & pdf["role"].eq(prev_role) \
+            & (pdf["role"] != "system")
+        return pdf.loc[bad, ["conv_id", "turn_idx", "role"]].copy()
+
+    return grouped_map_sorted(
+        df.select("conv_id", "turn_idx", "role"),
+        "conv_id", ["turn_idx"], check,
+        "conv_id string, turn_idx int, role string",
+    )

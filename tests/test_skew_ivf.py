@@ -1,0 +1,77 @@
+"""Skew primitives + IVF ANN tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_group_agg_equals_plain(spark, fixture60):
+    from owl2jsonschema_js_spark.skew import salted_group_agg
+
+    df = fixture60.to_spark(spark)
+    plain = {r["conv_id"]: (r["n"], r["mx"]) for r in
+             df.groupBy("conv_id").agg(F.count("*").alias("n"),
+                                       F.max("turn_idx").alias("mx")).collect()}
+    salted = salted_group_agg(
+        df, "conv_id",
+        partial_aggs=[F.count("*").alias("pn"), F.max("turn_idx").alias("pmx")],
+        merge_aggs=[F.sum("pn").alias("n"), F.max("pmx").alias("mx")],
+        salt_from="turn_idx",
+    )
+    got = {r["conv_id"]: (r["n"], r["mx"]) for r in salted.collect()}
+    assert got == plain
+
+
+def test_role_alternation_exact(spark):
+    from owl2jsonschema_js_spark.skew import role_alternation_violations
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+        ("c2", 0, "user"), ("c2", 1, "user"),           # violation at c2/1
+        ("c2", 2, "assistant"), ("c2", 3, "assistant"),  # violation at c2/3
+        ("c3", 0, "system"), ("c3", 1, "system"),        # system repeats allowed
+        ("c4", 0, "user"),                               # conv boundary: c4/0 ok
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {(r["conv_id"], r["turn_idx"]) for r in
+           role_alternation_violations(df).collect()}
+    assert got == {("c2", 1), ("c2", 3)}
+
+
+def test_role_alternation_batch_boundary(spark):
+    """Force tiny Arrow batches so a conversation spans batches — the carried
+    last-row must keep boundary detection exact."""
+    from owl2jsonschema_js_spark.skew import role_alternation_violations
+
+    n = 501
+    rows = [("c1", i, "user") for i in range(n)]  # every row after 0 violates
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        assert role_alternation_violations(df).count() == n - 1
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_ivf_topk_matches_bruteforce(spark):
+    from owl2jsonschema_js_spark.operators.similarity import ivf_topk, topk_neighbors
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    brute = [r["vec_id"] for r in
+             topk_neighbors(emb, qvec, k=5, metric="dot", exclude_id=0).collect()]
+    ivf = [r["vec_id"] for r in
+           ivf_topk(emb, qvec, k=5, n_centroids=8, nprobe=4, exclude_id=0).collect()]
+    # IVF probes half the lists: require >= 3/5 overlap with exact top-5
+    assert len(set(brute) & set(ivf)) >= 3
+    # and full recall when probing every list
+    ivf_all = [r["vec_id"] for r in
+               ivf_topk(emb, qvec, k=5, n_centroids=8, nprobe=8, exclude_id=0).collect()]
+    assert ivf_all == brute
