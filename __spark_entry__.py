@@ -384,7 +384,147 @@ def q_drift_ks(spark, sf_dir):
     return spark.createDataFrame([(ks,)], "ks double")
 
 
+def q_val_oneof_violations(spark, sf_dir):
+    """C13-C16 combinator semantics: draft-4 oneOf is EXACTLY-ONE (XOR-count),
+    not OR — rows where both branches hold are violations (SURVEY.md §7 #2)."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    li = _t(spark, sf_dir, "lineitem")
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"oneOf": [{"minimum": 25.0}, {"maximum": 30.0}]},
+                        F.col("l_quantity"), T.DoubleType(), spec)
+    return li.where(~F.coalesce(ok, F.lit(False))).select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_quantity"))
+
+
+def q_val_format_violations(spark, sf_dir):
+    """C4 format keyword: table-driven anchored-regex check ('date') over a
+    deterministically dirtied date-string column (1-in-7 uses '/' separators)."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "datestr",
+        F.when(F.pmod(F.col("o_orderkey"), F.lit(7)) == 0,
+               F.date_format("o_orderdate", "yyyy/MM/dd"))
+         .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")))
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"format": "date"}, F.col("datestr"), T.StringType(), spec)
+    return o.where(~F.coalesce(ok, F.lit(False))).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("datestr"))
+
+
+def q_val_length_violations(spark, sf_dir):
+    """C3-adjacent minLength/maxLength facets over documents.text."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"minLength": 60, "maxLength": 400}, F.col("text"),
+                        T.StringType(), spec)
+    return docs.where(~F.coalesce(ok, F.lit(False))).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length("text").cast("bigint").alias("text_len"))
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue: pure scan + filter + single agg — the
+    pushdown/codegen showcase (PushedFilters on l_shipdate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                     & (F.col("l_discount") >= 0.04) & (F.col("l_discount") <= 0.06)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                 .alias("revenue")))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier volume: 5-way join, dims broadcast, one shuffle
+    on the fact side only."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+def q_window_topk_orders(spark, sf_dir):
+    """Per-group top-k via rank window: 2 highest-value orders per customer
+    (deterministic tie-break on o_orderkey)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (o.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2)
+            .select(F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                    F.col("rk").cast("bigint").alias("rk"),
+                    F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+def q_text_lang_id(spark, sf_dir):
+    """n-gram/stopword-overlap language ID — argmax across per-language
+    profiles, deterministic asc-lang tie-break, all JVM-side."""
+    from owl2jsonschema_js_spark.operators.textstats import lang_id
+
+    out = lang_id(_t(spark, sf_dir, "documents"))
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("lang_pred"),
+                      F.col("lang_score").cast("bigint").alias("lang_score"))
+
+
+def q_text_bpe_count(spark, sf_dir):
+    """BPE-ish token proxy: word runs + individual punctuation marks."""
+    from owl2jsonschema_js_spark.operators.textstats import bpe_ish_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       bpe_ish_count().cast("bigint").alias("n_bpe_tokens"))
+
+
+def q_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, brute-force correctness baseline
+    (rhp_lsh_pairs is the scale path for the same predicate)."""
+    from owl2jsonschema_js_spark.operators.similarity import pairs_above
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (pairs_above(emb, threshold=0.4, metric="cosine")
+            .select(F.col("a_id").cast("bigint").alias("a_id"),
+                    F.col("b_id").cast("bigint").alias("b_id"),
+                    F.round("score", 6).alias("score")))
+
+
 # ------------------------------------------------------ rows-only (no SQL oracle)
+def q_text_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling hash + window min) — the
+    rolling hash is not SQL-expressible; rows-only check on (doc, n_fp)."""
+    from owl2jsonschema_js_spark.operators.textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    return fp.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                     F.size("fingerprints").cast("bigint").alias("n_fingerprints"))
+
+
+
 def q_transcripts_validate(spark, sf_dir):
     """Flagship: full constraint suite over Spark-generated transcripts
     (generator scales by construction; not SQL-expressible as one query)."""
@@ -477,7 +617,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_stats": q_json_extract_stats,
         "profile_len_hist": q_profile_len_hist,
         "drift_ks": q_drift_ks,
+        "val_oneof_violations": q_val_oneof_violations,
+        "val_format_violations": q_val_format_violations,
+        "val_length_violations": q_val_length_violations,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "window_topk_orders": q_window_topk_orders,
+        "text_lang_id": q_text_lang_id,
+        "text_bpe_count": q_text_bpe_count,
+        "cosine_pairs": q_cosine_pairs,
         # rows-only checks (no SQL-expressible oracle)
+        "text_fingerprints": q_text_fingerprints,
         "transcripts_validate": q_transcripts_validate,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
@@ -489,7 +639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from owl2jsonschema_js_spark.operators.textstats import LANG_PROFILES
+    from owl2jsonschema_js_spark.xsd_facets import FORMAT_PATTERNS
+
     ok_list = ", ".join(f"'{t}'" for t in EVENT_TYPES_OK)
+    date_pat = FORMAT_PATTERNS["date"].replace("'", "''")
+    lang_arms = "\n              UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, len(list_intersect(toks, [{words}])) AS sc FROM t"
+        .format(lang=lang, words=", ".join(f"'{w}'" for w in words))
+        for lang, words in sorted(LANG_PROFILES.items()))
     return {
         "val_enum_violations": f"""
             SELECT CAST(event_id AS BIGINT) AS event_id, event_type AS observed
@@ -770,5 +928,92 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
                        / greatest(length(text), 1), 6) AS punct_ratio
             FROM t
+        """,
+        "val_oneof_violations": """
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+            FROM lineitem
+            WHERE (CASE WHEN l_quantity >= 25.0 THEN 1 ELSE 0 END
+                 + CASE WHEN l_quantity <= 30.0 THEN 1 ELSE 0 END) != 1
+        """,
+        "val_format_violations": f"""
+            WITH d AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN strftime(o_orderdate, '%Y/%m/%d')
+                          ELSE strftime(o_orderdate, '%Y-%m-%d') END AS datestr
+              FROM orders)
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, datestr
+            FROM d WHERE NOT regexp_matches(datestr, '{date_pat}')
+        """,
+        "val_length_violations": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS text_len
+            FROM documents
+            WHERE NOT (length(text) >= 60 AND length(text) <= 400)
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.04 AND l_discount <= 0.06
+              AND l_quantity < 24
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "window_topk_orders": """
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(rk AS BIGINT) AS rk,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders) t
+            WHERE rk <= 2
+        """,
+        "text_lang_id": rf"""
+            WITH t AS (SELECT doc_id,
+                              list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+                       FROM documents),
+            s AS (
+              {lang_arms})
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS lang_pred,
+                   CAST(sc AS BIGINT) AS lang_score
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY sc DESC, lang) AS rn FROM s) x
+            WHERE rn = 1
+        """,
+        "text_bpe_count": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "cosine_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT CAST(a.vec_id AS BIGINT) AS a_id,
+                   CAST(b.vec_id AS BIGINT) AS b_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         """,
     }
