@@ -513,6 +513,37 @@ def q_cosine_pairs(spark, sf_dir):
                     F.round("score", 6).alias("score")))
 
 
+def q_streaming_contiguity(spark, sf_dir):
+    """Stateful streaming operator (applyInPandasWithState): per-conversation
+    turn-sequence monitor run over events-as-transcripts with injected
+    anomalies (every event_id%50==0 bumps its turn_idx, creating a gap + a
+    replay). One availableNow batch -> deterministic, so a SQL window oracle
+    reproduces the dup/gap classification exactly."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from owl2jsonschema_js_spark.streaming.stateful import turn_sequence_monitor
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    df = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1
+         + F.when(F.pmod(F.col("event_id"), F.lit(50)) == 0, 1).otherwise(0))
+        .cast("int").alias("turn_idx"))
+    path = tempfile.mkdtemp(prefix="stream_contig_") + "/src"
+    df.write.mode("overwrite").parquet(path)
+    name = "strcontig_" + uuid.uuid4().hex[:8]
+    stream = spark.readStream.schema("conv_id string, turn_idx int").parquet(path)
+    q = (turn_sequence_monitor(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT conv_id, turn_idx, kind FROM {name}")
+
+
 # ------------------------------------------------------ rows-only (no SQL oracle)
 def q_text_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (rolling hash + window min) — the
@@ -626,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_bpe_count": q_text_bpe_count,
         "cosine_pairs": q_cosine_pairs,
+        "streaming_contiguity": q_streaming_contiguity,
         # rows-only checks (no SQL-expressible oracle)
         "text_fingerprints": q_text_fingerprints,
         "transcripts_validate": q_transcripts_validate,
@@ -1015,5 +1047,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "streaming_contiguity": """
+            WITH t AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                          - 1 + CASE WHEN event_id % 50 = 0 THEN 1 ELSE 0 END
+                          AS INT) AS turn_idx
+              FROM events),
+            m AS (SELECT conv_id, turn_idx,
+                         max(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+                  FROM t)
+            SELECT conv_id, turn_idx,
+                   CASE WHEN pm IS NOT NULL AND turn_idx <= pm THEN 'dup_or_replay'
+                        ELSE 'gap' END AS kind
+            FROM m
+            WHERE (pm IS NOT NULL AND turn_idx <= pm)
+               OR (turn_idx > COALESCE(pm, -1) + 1)
         """,
     }

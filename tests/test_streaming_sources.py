@@ -75,3 +75,40 @@ def test_tableio_iceberg_detection(spark):
 
     assert iceberg_available(spark) in (True, False)  # no jar in sandbox: False
     assert os.path.exists("/root/testdata/sf0.001")
+
+
+def test_stateful_turn_monitor_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state (running max turn_idx) must carry across
+    micro-batches — batch 2 continuing at max+1 is clean, replays and skips
+    are flagged."""
+    import time
+
+    from owl2jsonschema_js_spark.streaming.stateful import turn_sequence_monitor
+
+    src = str(tmp_path / "src")
+    schema = "conv_id string, turn_idx int"
+    # batch 1: c1 gets 0,1,2 plus a replay of 1; c2 gets 0 then a skip to 3
+    b1 = spark.createDataFrame(
+        [("c1", 0), ("c1", 1), ("c1", 2), ("c1", 1), ("c2", 0), ("c2", 3)], schema)
+    # batch 2: c1 continues contiguously (3) = clean, then replays 2;
+    #          c2 continues from its max (4) = clean
+    b2 = spark.createDataFrame([("c1", 3), ("c1", 2), ("c2", 4)], schema)
+    b1.coalesce(1).write.parquet(src + "/f1")
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/f*"))
+    q = (turn_sequence_monitor(stream)
+         .writeStream.format("memory").queryName("seqmon")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["conv_id"], r["turn_idx"], r["kind"])
+           for r in spark.sql("SELECT * FROM seqmon").collect()}
+    assert got == {
+        ("c1", 1, "dup_or_replay"),   # batch-1 replay
+        ("c2", 3, "gap"),             # batch-1 skip past 0
+        ("c1", 2, "dup_or_replay"),   # batch-2 replay of batch-1 state
+    }, got
