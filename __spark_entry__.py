@@ -513,6 +513,30 @@ def q_cosine_pairs(spark, sf_dir):
                     F.round("score", 6).alias("score")))
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-style promo share: broadcast dim join + conditional agg,
+    single-row result."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev), 4).alias("economy_share_pct")))
+
+
+def q_doclen_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p95) of document length per lang —
+    sort-based exact percentile, not the HLL-style approx."""
+    docs = _t(spark, sf_dir, "documents")
+    pct = F.percentile(F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.95)))
+    return (docs.groupBy("lang")
+            .agg(F.round(pct[0], 4).alias("p50_chars"),
+                 F.round(pct[1], 4).alias("p95_chars"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
 def q_streaming_contiguity(spark, sf_dir):
     """Stateful streaming operator (applyInPandasWithState): per-conversation
     turn-sequence monitor run over events-as-transcripts with injected
@@ -657,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_bpe_count": q_text_bpe_count,
         "cosine_pairs": q_cosine_pairs,
+        "tpch_q14": q_tpch_q14,
+        "doclen_percentiles": q_doclen_percentiles,
         "streaming_contiguity": q_streaming_contiguity,
         # rows-only checks (no SQL-expressible oracle)
         "text_fingerprints": q_text_fingerprints,
@@ -1047,6 +1073,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        """,
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p.p_type = 'ECONOMY'
+                                     THEN l.l_extendedprice * (1 - l.l_discount)
+                                     ELSE 0.0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS economy_share_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "doclen_percentiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "streaming_contiguity": """
             WITH t AS (
