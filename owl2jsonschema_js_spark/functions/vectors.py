@@ -22,4 +22,6 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    # nullif: zero-norm vectors yield NULL (not an ANSI divide-by-zero crash);
+    # thresholds/top-k then drop them naturally
+    return dot(a, b) / F.nullif(l2norm(a) * l2norm(b), F.lit(0.0))

