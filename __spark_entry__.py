@@ -638,6 +638,45 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synth_media(spark, n=256), feat_dim=16)
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """1->N frame sampling over the synthetic media table (mapInPandas
+    explosion shape; decode stubbed, plumbing real)."""
+    from owl2jsonschema_js_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, n=256), every_n=10)
+
+
+def q_resume_manifest(spark, sf_dir):
+    """Checkpoint/resume through the public API: run validation with an
+    injected failure after 2 partitions, resume, and return the final
+    manifest (proves per-partition lineage + idempotent convergence)."""
+    import tempfile
+
+    from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
+    from owl2jsonschema_js_spark.compile import compile_spec
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_spark, tool_catalog_spark
+    from owl2jsonschema_js_spark.docs import transcript_constraints
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    df = gen_transcripts_spark(spark, n_rows=20_000, n_convs=400)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    mpath = tempfile.mkdtemp(prefix="resume_manifest_") + "/manifest.json"
+    cat = tool_catalog_spark(spark)
+    rv = ResumableValidator(plan, Manifest.load(mpath), "snap-entry", n_parts=8)
+    try:
+        rv.run(df, catalog=cat, fail_after_parts=2)
+    except RuntimeError:
+        pass
+    rv2 = ResumableValidator(plan, Manifest.load(mpath), "snap-entry", n_parts=8)
+    rv2.run(df, catalog=cat)
+    m = Manifest.load(mpath)
+    rows = [(k.split("|")[1], v["status"], bool(v["verdict"]["pass"]),
+             int(v["metrics"]["n_rows"]))
+            for k, v in sorted(m.entries.items())]
+    return spark.createDataFrame(
+        rows, "part string, status string, pass boolean, n_rows bigint")
+
+
 # ------------------------------------------------------------------ contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine verdict rollup over events at sf0.001."""
@@ -693,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_ivf_top5": q_ann_ivf_top5,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
+        "resume_manifest": q_resume_manifest,
     }
 
 

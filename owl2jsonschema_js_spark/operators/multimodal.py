@@ -72,3 +72,39 @@ def extract_features(media: DataFrame, feat_dim: int = 16,
             })
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_no int, frame_payload binary"
+
+
+def sample_frames(media: DataFrame, every_n: int = 10,
+                  decode_stub: bool = True) -> DataFrame:
+    """Frame sampling for video rows: one input row -> ceil(n_frames/every_n)
+    frame rows (the 1->N mapInPandas explosion shape a real decoder needs).
+
+    Stub path emits deterministic per-frame pseudo-bytes derived from
+    (payload head, frame_no); the real path would seek+decode keyframes via
+    ffmpeg. Non-video rows pass through with zero frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg — not in container")
+            ids, nos, payloads = [], [], []
+            vids = pdf[pdf["kind"] == "video"]
+            for mid, payload, meta in zip(vids["media_id"], vids["payload"],
+                                          vids["meta"]):
+                n_frames = int(meta["n_frames"]) if meta is not None else 0
+                head = bytes(payload[:8])
+                for fno in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    nos.append(fno)
+                    payloads.append(head + fno.to_bytes(4, "big"))
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_no": pd.Series(nos, dtype="int32"),
+                "frame_payload": pd.Series(payloads, dtype=object),
+            })
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)

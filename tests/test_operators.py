@@ -190,3 +190,25 @@ def test_dedup_similarity_degenerate_inputs(spark):
             pairs_above(edf, 0.5).collect()} == {(1, 2)}
     assert {(r["a_id"], r["b_id"]) for r in
             rhp_lsh_pairs(edf, threshold=0.5, dim=8).collect()} == {(1, 2)}
+
+
+def test_multimodal_frame_sampling(spark):
+    """1->N frame explosion: video rows yield ceil(n_frames/every_n) frames
+    with deterministic payloads; non-video rows yield none."""
+    from owl2jsonschema_js_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=48)
+    metas = {r["media_id"]: (r["kind"], r["meta"]["n_frames"])
+             for r in media.select("media_id", "kind", "meta").collect()}
+    frames = sample_frames(media, every_n=10).collect()
+    got = {}
+    for r in frames:
+        got.setdefault(r["media_id"], []).append(r["frame_no"])
+        assert len(r["frame_payload"]) == 12  # 8-byte head + 4-byte frame_no
+    for mid, (kind, n_frames) in metas.items():
+        exp = list(range(0, n_frames, 10)) if kind == "video" else []
+        assert sorted(got.get(mid, [])) == exp, (mid, kind, n_frames)
+    # deterministic across runs
+    again = sorted((r["media_id"], r["frame_no"]) for r in
+                   sample_frames(media, every_n=10).collect())
+    assert again == sorted((r["media_id"], r["frame_no"]) for r in frames)
