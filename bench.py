@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "drift_psi",
     "tpch_q1",
     "tpch_q3_topk",
+    "tpch_q5",
+    "tpch_q6",
+    "window_topk_orders",
+    "text_lang_id",
+    "doclen_percentiles",
     "dedup_exact",
     "minhash_lsh_dups",
     "simhash_dups",
