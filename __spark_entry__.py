@@ -513,6 +513,60 @@ def q_cosine_pairs(spark, sf_dir):
                     F.round("score", 6).alias("score")))
 
 
+def q_val_exists_violations(spark, sf_dir):
+    """C8 someValuesFrom -> exists(): per-user event-type set must contain a
+    'purchase' (items.anyOf + additionalItems:true on an array column)."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    ev = _t(spark, sf_dir, "events")
+    arr = ev.groupBy(F.col("user_id").cast("bigint").alias("user_id")) \
+            .agg(F.collect_set("event_type").alias("types"))
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"items": {"anyOf": [{"enum": ["purchase"]}]},
+                         "additionalItems": True},
+                        F.col("types"), T.ArrayType(T.StringType()), spec)
+    return (arr.where(~F.coalesce(ok, F.lit(False)))
+            .select("user_id", F.array_sort("types").alias("types_seen")))
+
+
+def q_val_forall_violations(spark, sf_dir):
+    """C9 allValuesFrom -> forall(): every per-user event type must be a known
+    one (items.allOf + additionalItems:false on an array column)."""
+    from owl2jsonschema_js_spark.compile import compile_schema
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    ev = _t(spark, sf_dir, "events")
+    arr = ev.groupBy(F.col("user_id").cast("bigint").alias("user_id")) \
+            .agg(F.collect_set("event_type").alias("types"))
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    ok = compile_schema({"items": {"allOf": [{"enum": EVENT_TYPES_OK}]},
+                         "additionalItems": False},
+                        F.col("types"), T.ArrayType(T.StringType()), spec)
+    return (arr.where(~F.coalesce(ok, F.lit(False)))
+            .select("user_id",
+                    F.array_sort(F.array_except(
+                        "types", F.array(*[F.lit(t) for t in EVENT_TYPES_OK])))
+                    .alias("unknown_types")))
+
+
+def q_salted_avg_value(spark, sf_dir):
+    """Two-phase salted aggregation (skew primitive): avg event value per
+    event_type via groupBy(key, salt) partials then merge — must equal the
+    plain AVG the oracle computes."""
+    from owl2jsonschema_js_spark.skew import salted_group_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_group_agg(
+        ev, "event_type",
+        partial_aggs=[F.sum("value").alias("s"), F.count("value").alias("c")],
+        merge_aggs=[(F.sum("s") / F.sum("c")).alias("avg_raw"),
+                    F.sum("c").alias("n_values")],
+        n_salts=16, salt_from="event_id")
+    return out.select("event_type", F.round("avg_raw", 4).alias("avg_value"),
+                      F.col("n_values").cast("bigint").alias("n_values"))
+
+
 def q_tpch_q14(spark, sf_dir):
     """TPC-H Q14-style promo share: broadcast dim join + conditional agg,
     single-row result."""
@@ -722,6 +776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "tpch_q14": q_tpch_q14,
         "doclen_percentiles": q_doclen_percentiles,
+        "val_exists_violations": q_val_exists_violations,
+        "val_forall_violations": q_val_forall_violations,
+        "salted_avg_value": q_salted_avg_value,
         "streaming_contiguity": q_streaming_contiguity,
         # rows-only checks (no SQL-expressible oracle)
         "text_fingerprints": q_text_fingerprints,
@@ -1122,6 +1179,25 @@ def oracle_sql() -> dict[str, str]:
                    / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
                    AS economy_share_pct
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "val_exists_violations": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   list_sort(list(DISTINCT event_type)) AS types_seen
+            FROM events GROUP BY 1
+            HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+        """,
+        "val_forall_violations": f"""
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   list_sort(list(DISTINCT event_type)
+                             FILTER (event_type NOT IN ({ok_list}))) AS unknown_types
+            FROM events GROUP BY 1
+            HAVING sum(CASE WHEN event_type NOT IN ({ok_list}) THEN 1 ELSE 0 END) > 0
+        """,
+        "salted_avg_value": """
+            SELECT event_type,
+                   round(sum(value) / count(value), 4) AS avg_value,
+                   CAST(count(value) AS BIGINT) AS n_values
+            FROM events GROUP BY 1
         """,
         "doclen_percentiles": """
             SELECT lang,

@@ -75,3 +75,42 @@ def test_topk_is_take_ordered_not_global_sort(spark):
 
     s = explain_str(e.queries()["tpch_q3_topk"](spark, SF), "simple")
     assert "TakeOrderedAndProject" in s
+
+
+def test_tpch_q5_all_dims_broadcast_no_smj(spark):
+    """q5's 5 joins: every dim side broadcast; no sort-merge join appears."""
+    import __spark_entry__ as e
+
+    s = explain_str(e.queries()["tpch_q5"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_tpch_q6_full_pushdown_and_pruned_scan(spark):
+    """q6: every predicate reaches PushedFilters; scan reads only 4 columns."""
+    import __spark_entry__ as e
+
+    q6 = e.queries()["tpch_q6"](spark, SF)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(q6, col), col
+    assert set(read_schema_columns(q6)) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_lsh_band_join_carries_no_vectors(spark):
+    """rhp_lsh_pairs: the pair-generating self-join must shuffle only
+    (id, band, bucket) — embeddings re-join after candidate dedup."""
+    from owl2jsonschema_js_spark.operators.similarity import rhp_lsh_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = explain_str(rhp_lsh_pairs(emb, threshold=0.8), "formatted")
+    # locate the dedup exchange (hashpartitioning on (a_id, b_id)) and assert
+    # its Input schema is exactly the two id columns — no vector riding along
+    lines = plan.splitlines()
+    arg_idx = next(i for i, ln in enumerate(lines)
+                   if "hashpartitioning(a_id" in ln)
+    input_line = next(lines[j] for j in range(arg_idx - 1, arg_idx - 5, -1)
+                      if lines[j].strip().startswith("Input"))
+    assert "Input [2]" in input_line, input_line
+    assert "a_id" in input_line and "b_id" in input_line, input_line
+    assert "embedding" not in input_line and " v#" not in input_line, input_line
