@@ -103,3 +103,45 @@ def test_fuzz_enum_agrees_with_jsonschema(spark, members, values):
     pred = compile_schema(frag, F.col("v"), T.StringType(), spec)
     got = [r[0] for r in df.select(F.coalesce(pred, F.lit(False))).collect()]
     assert got == expected
+
+
+_string_frag = st.fixed_dictionaries(
+    {},
+    optional={
+        "minLength": st.integers(0, 6),
+        "maxLength": st.integers(0, 8),
+        "enum": st.lists(st.text(alphabet="abc", max_size=3), min_size=1,
+                         max_size=4, unique=True),
+        "type": st.just("string"),
+    },
+)
+
+_str_comb_frag = st.recursive(
+    _string_frag,
+    lambda inner: st.one_of(
+        st.fixed_dictionaries({"allOf": st.lists(inner, min_size=1, max_size=3)}),
+        st.fixed_dictionaries({"anyOf": st.lists(inner, min_size=1, max_size=3)}),
+        st.fixed_dictionaries({"oneOf": st.lists(inner, min_size=1, max_size=3)}),
+        st.fixed_dictionaries({"not": inner}),
+    ),
+    max_leaves=6,
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frag=_str_comb_frag,
+       values=st.lists(st.text(alphabet="abcd", max_size=8), min_size=1, max_size=8))
+def test_fuzz_string_keywords_agree_with_jsonschema(spark, frag, values):
+    """enum / minLength / maxLength under arbitrary combinator nesting must
+    match python-jsonschema draft-4 row-wise (regex-free subset)."""
+    validator = jsonschema.Draft4Validator(
+        {"type": "object", "properties": {"v": frag}})
+    expected = [validator.is_valid({"v": v}) for v in values]
+
+    df = spark.createDataFrame([(v,) for v in values],
+                               T.StructType([T.StructField("v", T.StringType())]))
+    spec = ConstraintSpec.parse({"type": "object", "properties": {}})
+    pred = compile_schema(frag, F.col("v"), T.StringType(), spec)
+    got = [r[0] for r in df.select(F.coalesce(pred, F.lit(False))).collect()]
+    assert got == expected, f"frag={json.dumps(frag)} values={values}"
