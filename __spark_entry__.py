@@ -207,6 +207,18 @@ def q_stable_order_top3(spark, sf_dir):
                     F.col("turn_idx").cast("bigint").alias("turn_idx")))
 
 
+def q_gap_histogram(spark, sf_dir):
+    """Per-role log2 turn-gap histogram (the drift profile's second lane):
+    scale-path gap extraction (repartition+sort+mapInPandas) -> histogram agg."""
+    from owl2jsonschema_js_spark.drift import gap_histogram
+    from owl2jsonschema_js_spark.order import turn_gaps
+
+    df = _events_as_transcripts(spark, sf_dir)
+    return (gap_histogram(turn_gaps(df))
+            .select("role", F.col("bin").cast("bigint").alias("bin"),
+                    F.col("count").alias("n_gaps")))
+
+
 def q_drift_psi(spark, sf_dir):
     """PSI between purchase-value and view-value distributions over 16 fixed
     linear bins, add-half smoothing — engine histogram agg + driver PSI."""
@@ -749,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_verdict_rollup": q_val_verdict_rollup,
         "profile_stats": q_profile_stats,
         "length_histogram": q_length_histogram,
+        "gap_histogram": q_gap_histogram,
         "turn_gap_stats": q_turn_gap_stats,
         "stable_order_top3": q_stable_order_top3,
         "drift_psi": q_drift_psi,
@@ -894,6 +907,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(31, floor(log2(length(text) + 1))) AS BIGINT) AS bin,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents WHERE text IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "gap_histogram": """
+            WITH g AS (
+              SELECT event_type AS role,
+                     CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY event_id, ts),
+                        ts) AS DOUBLE) / 1e6 AS gap_s
+              FROM events)
+            SELECT role,
+                   CAST(least(31, floor(log2(greatest(gap_s, 0) + 1))) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap_s IS NOT NULL
             GROUP BY 1, 2
         """,
         "turn_gap_stats": """

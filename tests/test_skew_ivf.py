@@ -75,3 +75,39 @@ def test_ivf_topk_matches_bruteforce(spark):
     ivf_all = [r["vec_id"] for r in
                ivf_topk(emb, qvec, k=5, n_centroids=8, nprobe=8, exclude_id=0).collect()]
     assert ivf_all == brute
+
+
+def test_aqe_skew_join_correct_under_hot_key(spark, tmp_path):
+    """Join the skewed transcripts (one conv ~30% of rows) to a per-conv dim
+    with AQE skew-join enabled — results must equal the per-conv expected
+    row counts (AQE split of the hot partition must not duplicate or drop)."""
+    from owl2jsonschema_js_spark.datagen import gen_transcripts_spark
+
+    df = gen_transcripts_spark(spark, n_rows=200_000, n_convs=50)
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    df = spark.read.parquet(p)
+    dim = df.groupBy("conv_id").count().withColumnRenamed("count", "n_dim")
+
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # force the skew path to actually trigger on this small fixture
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = df.join(dim, "conv_id")
+        per_conv = {r["conv_id"]: r["n"] for r in
+                    joined.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        expected = {r["conv_id"]: r["n_dim"] for r in dim.collect()}
+        assert per_conv == expected
+        # the hot conversation really is hot (skew premise holds)
+        assert max(expected.values()) > 0.25 * sum(expected.values())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
