@@ -145,6 +145,15 @@ def _numeric_view(col: Column, dtype: T.DataType | None) -> Column:
     return col
 
 
+def _num_lit(v: Any) -> Column:
+    """Numeric bound literal. Ints beyond int64 (xsd:unsignedLong's 2^64-1)
+    become exact decimal literals — the reference loses these bounds to JS
+    float precision (hardcoded-schemas.json:128-129); we keep them exact."""
+    if isinstance(v, int) and not (-(2**63) <= v <= 2**63 - 1):
+        return F.lit(str(v)).cast("decimal(38,0)")
+    return F.lit(v)
+
+
 def _format_pred(fmt: str, col: Column, dtype: T.DataType | None) -> Column:
     """C4 — table-driven format check. Timestamp/date columns carry the lexical
     guarantee in their type; string columns get rlike (+ parse cross-check for
@@ -200,10 +209,10 @@ def compile_schema(
     if any(k in schema for k in ("minimum", "maximum")):
         num = _numeric_view(col, dtype)
     if "minimum" in schema:
-        lo = F.lit(schema["minimum"])
+        lo = _num_lit(schema["minimum"])
         preds.append(num > lo if schema.get("exclusiveMinimum") else num >= lo)
     if "maximum" in schema:
-        hi = F.lit(schema["maximum"])
+        hi = _num_lit(schema["maximum"])
         preds.append(num < hi if schema.get("exclusiveMaximum") else num <= hi)
 
     if "minLength" in schema:
