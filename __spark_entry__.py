@@ -396,6 +396,30 @@ def q_drift_ks(spark, sf_dir):
     return spark.createDataFrame([(ks,)], "ks double")
 
 
+def q_val_conditional_violations(spark, sf_dir):
+    """Doc-level combinator as a cross-column conditional (C14-C16 row scope):
+    'purchase events must carry a value' encoded draft-4-style as
+    anyOf[ {role not purchase}, {required:[value]} ] — the implication pattern
+    the reference's unionOf/complementOf maps compile into."""
+    from owl2jsonschema_js_spark.compile import compile_spec
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    ev = _t(spark, sf_dir, "events")
+    doc = {
+        "type": "object",
+        "properties": {},
+        "anyOf": [
+            {"properties": {"event_type": {"not": {"enum": ["purchase"]}}}},
+            {"required": ["value"]},
+        ],
+    }
+    plan = compile_spec(ConstraintSpec.parse(doc), ev.schema)
+    rule = next(r for r in plan.row_rules if r.rule_id == "$.anyOf")
+    return ev.where(~rule.ok).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("event_type"))
+
+
 def q_val_oneof_violations(spark, sf_dir):
     """C13-C16 combinator semantics: draft-4 oneOf is EXACTLY-ONE (XOR-count),
     not OR — rows where both branches hold are violations (SURVEY.md §7 #2)."""
@@ -778,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_stats": q_json_extract_stats,
         "profile_len_hist": q_profile_len_hist,
         "drift_ks": q_drift_ks,
+        "val_conditional_violations": q_val_conditional_violations,
         "val_oneof_violations": q_val_oneof_violations,
         "val_format_violations": q_val_format_violations,
         "val_length_violations": q_val_length_violations,
@@ -1110,6 +1135,11 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
                        / greatest(length(text), 1), 6) AS punct_ratio
             FROM t
+        """,
+        "val_conditional_violations": """
+            SELECT CAST(event_id AS BIGINT) AS event_id, event_type
+            FROM events
+            WHERE NOT (event_type != 'purchase' OR value IS NOT NULL)
         """,
         "val_oneof_violations": """
             SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
