@@ -19,6 +19,10 @@ Execution shape (SURVEY.md §3.4):
                   across partitions (turn_idx acts as the salt) — the
                   salted-repartition strategy the north rule mandates, realized
                   with Catalyst operators at key width instead of row width.
+                  With group rules present (default 'auto'), the pass is GATED:
+                  the conversation agg's count != countDistinct flag bounds it
+                  to conversations that actually contain duplicates, so clean
+                  data pays no table-wide key shuffle at all.
   referential  -> broadcast left_anti join vs the (small) catalog (C19).
 
 All heavy paths are pure DataFrame ops — zero Python in the row loop.
@@ -78,11 +82,28 @@ class ValidationRunner:
         part_col: str = DEFAULT_PART_COL,
         key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
         n_parts: int = 16,
+        uniqueness: str = "full",
     ):
+        """``uniqueness``: 'full' (default) always runs the full-key groupBy;
+        'gated' restricts it to conversations the (already-paid) group agg
+        flags as containing duplicates (count != countDistinct); 'auto' =
+        gated when the group agg runs on the same key, else full. Outputs are
+        identical across strategies (proven in tests/test_runner_e2e.py).
+
+        Which to use is a scale question, measured both ways: at single-box
+        bench scale the page-cached 80M-key shuffle costs less than the gate's
+        extra key scan + grouped persist (14.0s full vs 19.6s gated at 80M
+        turns), so 'full' is the default; at 10^12 rows the full-key shuffle
+        is ~24 TB through network+disk while the gate's flagged set is
+        normally tiny, so a cluster deployment should pass 'gated'
+        (SCALE.md)."""
+        if uniqueness not in ("auto", "full", "gated"):
+            raise ValueError(f"unknown uniqueness strategy {uniqueness!r}")
         self.plan = plan
         self.part_col = part_col
         self.key_cols = key_cols
         self.n_parts = n_parts
+        self.uniqueness = uniqueness
 
     # ------------------------------------------------------------------ rows
     def _with_partition(self, df: DataFrame) -> DataFrame:
@@ -162,7 +183,40 @@ class ValidationRunner:
             .drop("__i")
         )
 
-    def _group_violations(self, df: DataFrame) -> DataFrame:
+    def _grouped(self, df: DataFrame) -> DataFrame:
+        """The fused conversation-level aggregate (ONE shuffle) shared by
+        cardinality, contiguity AND the gated-uniqueness flag: count,
+        countDistinct(turn_idx), min, max per group. Persisted because two
+        downstream consumers read it (group violations + dup gate); it is one
+        row per conversation — O(convs), never O(rows)."""
+        t = self.plan.table
+        k1 = self.key_cols[1]
+        gk = t.group_key or t.contiguous or self.key_cols[0]
+        return df.groupBy(gk).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.countDistinct(F.col(k1)).alias("__nd"),
+            F.min(k1).alias("__mn"),
+            F.max(k1).alias("__mx"),
+            F.first(self.part_col).alias(self.part_col),
+        )
+
+    def _uniqueness_violations_gated(self, df: DataFrame, grouped: DataFrame) -> DataFrame:
+        """C12 via the dup gate: only conversations where count != countDistinct
+        can contain duplicate (conv_id, turn_idx) rows, and the group agg
+        already computed both. The full-key groupBy then runs on that (normally
+        tiny) subset — on clean data the table-wide key shuffle disappears
+        entirely. AQE picks a broadcast join when the flagged set is small and
+        falls back to a shuffled join when it is not, so the worst case
+        degrades to the full strategy's cost, never past it."""
+        t = self.plan.table
+        k0, _ = self.key_cols
+        gk = t.group_key or t.contiguous or k0
+        flagged = (grouped.where(F.col("__n") != F.col("__nd"))
+                   .select(F.col(gk).alias(k0)))
+        sub = df.select(*self.key_cols, self.part_col).join(flagged, k0)
+        return self._uniqueness_violations(sub)
+
+    def _group_violations(self, df: DataFrame, grouped: DataFrame | None = None) -> DataFrame:
         """C5/C6 cardinality + turn_idx contiguity, fused into ONE groupBy over
         the conversation key (same grouping => one shuffle, one pass).
 
@@ -175,13 +229,8 @@ class ValidationRunner:
         gk = t.group_key or t.contiguous or k0
         want_card = t.min_items is not None or t.max_items is not None
         want_contig = bool(t.contiguous)
-        grouped = df.groupBy(gk).agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.countDistinct(F.col(k1)).alias("__nd"),
-            F.min(k1).alias("__mn"),
-            F.max(k1).alias("__mx"),
-            F.first(self.part_col).alias(self.part_col),
-        )
+        if grouped is None:
+            grouped = self._grouped(df)
         card_bad = F.lit(False)
         if t.min_items is not None:
             card_bad = card_bad | (F.col("__n") < t.min_items)
@@ -254,11 +303,25 @@ class ValidationRunner:
             raise ValueError("cardinality 'per' key and contiguity key must match "
                              f"(got {t.group_key!r} vs {t.contiguous!r})")
 
+        grouped = self._grouped(df) if want_group else None
+        gate_ok = (grouped is not None
+                   and (t.group_key or t.contiguous or self.key_cols[0])
+                   == self.key_cols[0])
+        use_gated = (self.uniqueness == "gated"
+                     or (self.uniqueness == "auto" and gate_ok))
+        if use_gated and gate_ok and grouped is not None:
+            # two consumers (group violations + dup gate) — persist the
+            # O(convs) intermediate so the conv shuffle isn't paid twice
+            grouped = grouped.persist()
+
         table_parts: list[DataFrame] = []
         if t.unique_keys:
-            table_parts.append(self._uniqueness_violations(df))
+            if use_gated and gate_ok:
+                table_parts.append(self._uniqueness_violations_gated(df, grouped))
+            else:
+                table_parts.append(self._uniqueness_violations(df))
         if want_group:
-            table_parts.append(self._group_violations(df))
+            table_parts.append(self._group_violations(df, grouped))
         if t.referential:
             table_parts.append(self._referential_violations(df, catalog))
 

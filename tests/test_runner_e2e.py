@@ -110,3 +110,29 @@ def test_spark_native_generator_validates(spark):
     # contiguity holds by construction for all conversations
     assert "table.contiguity" not in counts
     assert "table.unique" not in counts
+
+
+def test_uniqueness_strategies_agree(spark, fixture60):
+    """'full' and 'gated' uniqueness must produce identical violation rows and
+    verdicts — including the hot conversation and injected duplicates."""
+    from owl2jsonschema_js_spark.compile import compile_spec
+    from owl2jsonschema_js_spark.docs import transcript_constraints
+    from owl2jsonschema_js_spark.runner import ValidationRunner
+    from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+    df = fixture60.to_spark(spark)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    cat = fixture60.catalog_spark(spark)
+
+    def rows(strategy):
+        res = ValidationRunner(plan, n_parts=4, uniqueness=strategy).run(df, catalog=cat)
+        viol = sorted(map(tuple, res.violations.collect()))
+        verd = res.collect_verdicts()
+        return viol, verd
+
+    full_v, full_d = rows("full")
+    gated_v, gated_d = rows("gated")
+    assert full_v == gated_v
+    assert full_d == gated_d
+    # the fixture really injects duplicates (the gate has something to find)
+    assert any(r[1] == "table.unique" for r in full_v)
