@@ -537,6 +537,23 @@ def q_text_bpe_count(spark, sf_dir):
                        bpe_ish_count().cast("bigint").alias("n_bpe_tokens"))
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Fused corpus profiler: every cheap text signal in ONE codegen pass
+    (token/BPE counts, quality ratios, language ID)."""
+    from owl2jsonschema_js_spark.operators.textstats import corpus_profile
+
+    p = corpus_profile(_t(spark, sf_dir, "documents"))
+    return p.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.col("lang_pred"),
+        F.col("lang_score").cast("bigint").alias("lang_score"))
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, brute-force correctness baseline
     (rhp_lsh_pairs is the scale path for the same predicate)."""
@@ -811,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": q_window_topk_orders,
         "text_lang_id": q_text_lang_id,
         "text_bpe_count": q_text_bpe_count,
+        "corpus_profile": q_corpus_profile,
         "cosine_pairs": q_cosine_pairs,
         "tpch_q14": q_tpch_q14,
         "doclen_percentiles": q_doclen_percentiles,
@@ -1215,6 +1233,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "corpus_profile": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+              FROM documents),
+            s AS (
+              {lang_arms}),
+            lang AS (
+              SELECT doc_id, lang AS lang_pred, CAST(sc AS BIGINT) AS lang_score
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY sc DESC, lang) AS rn FROM s) x
+              WHERE rn = 1),
+            q AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS uniq
+              FROM documents)
+            SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+                   CAST(len(q.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(q.text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                        AS BIGINT) AS n_bpe_tokens,
+                   round(CAST(len(q.uniq) AS DOUBLE) / len(q.toks), 6) AS distinct_ratio,
+                   round(CAST(len(list_intersect(q.uniq,
+                       ['the','a','of','and','to','in','is','it','that','for'])) AS DOUBLE)
+                       / len(q.uniq), 6) AS stopword_ratio,
+                   round(CAST(len(regexp_extract_all(q.text, '[^\w\s]')) AS DOUBLE)
+                       / greatest(length(q.text), 1), 6) AS punct_ratio,
+                   lang.lang_pred, lang.lang_score
+            FROM t
+            JOIN lang ON t.doc_id = lang.doc_id
+            JOIN q ON t.doc_id = q.doc_id
         """,
         "cosine_pairs": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

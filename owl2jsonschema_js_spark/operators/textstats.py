@@ -59,14 +59,11 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            profiles: dict[str, list[str]] | None = None) -> DataFrame:
-    """(id, lang_pred, lang_score): argmax stopword-overlap count across
-    language profiles; deterministic tie-break on language code (ascending).
-    Pure column expressions: per-language overlap counts -> array_max over
-    (score, reversed-lang) structs."""
+def _lang_best(toks: Column, profiles: dict[str, list[str]] | None = None) -> Column:
+    """struct(score, inv, lang) of the argmax stopword-overlap language for a
+    distinct-token array column; deterministic tie-break on language code
+    (ascending) via array_max over (score, reversed-lang) structs."""
     profiles = profiles or LANG_PROFILES
-    toks = tokens_col(text_col)
     entries = []
     for lang in sorted(profiles, reverse=True):  # so array_max tie-break = asc lang
         sw = F.array(*[F.lit(w) for w in profiles[lang]])
@@ -74,9 +71,42 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         entries.append(F.struct(score.alias("score"),
                                 F.lit("".join(chr(255 - ord(c)) for c in lang)).alias("inv"),
                                 F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*entries))
+    return F.array_max(F.array(*entries))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            profiles: dict[str, list[str]] | None = None) -> DataFrame:
+    """(id, lang_pred, lang_score): argmax stopword-overlap count across
+    language profiles — pure column expressions."""
+    best = _lang_best(tokens_col(text_col), profiles)
     return docs.select(F.col(id_col), best["lang"].alias("lang_pred"),
                        best["score"].alias("lang_score"))
+
+
+def corpus_profile(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   stopwords: list[str] | None = None) -> DataFrame:
+    """Every cheap text signal of the training-data pipeline in ONE scan:
+    token count, BPE-ish count, distinct/stopword/punctuation ratios, and
+    language ID. All are column expressions over the same tokenization, so
+    Catalyst fuses the whole profile into a single WholeStageCodegen pass
+    over the pruned (id, text) scan — asserted in tests/test_plans.py."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or LANG_PROFILES["en"])])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    uniq = F.array_distinct(toks)
+    n = F.size(toks).cast("double")
+    best = _lang_best(uniq)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        bpe_ish_count(text_col).alias("n_bpe_tokens"),
+        (F.size(uniq) / n).alias("distinct_ratio"),
+        (F.size(F.array_intersect(uniq, sw)).cast("double") / F.size(uniq)).alias("stopword_ratio"),
+        (F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+         / F.greatest(F.length(text_col), F.lit(1))).alias("punct_ratio"),
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,

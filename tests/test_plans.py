@@ -114,3 +114,14 @@ def test_lsh_band_join_carries_no_vectors(spark):
     assert "Input [2]" in input_line, input_line
     assert "a_id" in input_line and "b_id" in input_line, input_line
     assert "embedding" not in input_line and " v#" not in input_line, input_line
+
+
+def test_corpus_profile_fuses_into_one_codegen_stage(spark):
+    """All text signals (counts, ratios, lang-ID) in ONE WholeStageCodegen
+    pass over a pruned (doc_id, text) scan."""
+    from owl2jsonschema_js_spark.operators.textstats import corpus_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = corpus_profile(docs)
+    assert codegen_stage_count(p) == 1
+    assert set(read_schema_columns(p)) == {"doc_id", "text"}
