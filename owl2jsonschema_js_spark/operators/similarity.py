@@ -51,42 +51,75 @@ def pairs_above(
     )
 
 
-def ivf_topk(
-    emb: DataFrame, query_vec: list[float], k: int = 5,
-    n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-    exclude_id=None,
-) -> DataFrame:
-    """IVF (inverted-file) top-k: the scale path past brute force.
-
-    Coarse quantizer: centroids sampled deterministically from the data
-    (hash-picked rows — at cluster scale you'd k-means these; sampling is the
-    standard bootstrap and keeps the operator dependency-free). Every vector
-    is assigned to its nearest centroid with ONE numpy GEMM per Arrow batch;
-    the query scans only the `nprobe` nearest lists, so scan cost drops by
-    ~n_centroids/nprobe while recall stays high for clustered data.
-    """
-    rng_rows = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-                .withColumn("__h", F.xxhash64("id", F.lit(seed)))
-                .orderBy("__h").limit(n_centroids).collect())
-    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rng_rows])
+def _assign_udf(cents: np.ndarray):
+    """pandas_udf assigning each vector to its nearest centroid by cosine —
+    one numpy GEMM per Arrow batch."""
+    cn = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
-        # cosine assignment on normalized centroids
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
         mn = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
         return pd.Series(np.argmax(mn @ cn.T, axis=1).astype("int32"))
 
+    return assign
+
+
+def ivf_train_centroids(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 2, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd k-means for the IVF coarse quantizer.
+
+    Init: deterministic hash-sampled rows. Each iteration: assignment is one
+    GEMM per Arrow batch (executors), mean-update is posexplode ->
+    groupBy(list, dim).avg — a partial-aggregating shuffle of
+    O(n_centroids × dim) result rows; centroids (kilobytes) live on the
+    driver between iterations, exactly how a cluster-scale IVF build stages
+    its quantizer. Empty clusters keep their previous centroid."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    rng_rows = (base.withColumn("__h", F.xxhash64("id", F.lit(seed)))
+                .orderBy("__h").limit(n_centroids).collect())
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rng_rows])
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    base = base.repartition(par)
+    for _ in range(max(0, iters)):
+        assigned = base.select(_assign_udf(cents)(F.col("v")).alias("list_id"), "v")
+        means = (assigned.select("list_id", F.posexplode("v").alias("dim", "x"))
+                 .groupBy("list_id", "dim").agg(F.avg("x").alias("m"))
+                 .collect())
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            new[r["list_id"], r["dim"]] = r["m"]
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 5,
+    n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_id=None, train_iters: int = 0,
+) -> DataFrame:
+    """IVF (inverted-file) top-k: the scale path past brute force.
+
+    Coarse quantizer: hash-sampled centroids, optionally refined with
+    ``train_iters`` Lloyd iterations (:func:`ivf_train_centroids`). Every
+    vector is assigned to its nearest centroid with ONE numpy GEMM per Arrow
+    batch; the query scans only the `nprobe` nearest lists, so scan cost
+    drops by ~n_centroids/nprobe while recall stays high for clustered data.
+    """
+    cents = ivf_train_centroids(emb, n_centroids, train_iters, seed,
+                                id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
-    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cn = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12, None)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_lists = np.argsort(-(cn @ qn))[:nprobe].tolist()
 
     par = emb.sparkSession.sparkContext.defaultParallelism
     assigned = emb.repartition(par).select(
-        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("list_id"))
+        F.col(id_col), F.col(vec_col),
+        _assign_udf(cents)(F.col(vec_col)).alias("list_id"))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     out = (assigned.where(F.col("list_id").isin(probe_lists))
            .select(F.col(id_col), dot(F.col(vec_col), qcol).alias("score")))

@@ -111,3 +111,28 @@ def test_aqe_skew_join_correct_under_hot_key(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_ivf_kmeans_recall_on_clustered_data(spark):
+    """Trained IVF (2 Lloyd iterations) on clustered vectors: recall@5 vs
+    brute force must be high while probing only 4 of 16 lists."""
+    from owl2jsonschema_js_spark.operators.similarity import ivf_topk, topk_neighbors
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((16, 16)) * 4
+    rows = []
+    for i in range(800):
+        c = i % 16
+        v = centers[c] + rng.standard_normal(16) * 0.3
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+
+    exact = [r["vec_id"] for r in
+             topk_neighbors(emb, q, k=5, metric="cosine", exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4,
+                       exclude_id=0, train_iters=2).collect()]
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.8, (recall, exact, approx)
