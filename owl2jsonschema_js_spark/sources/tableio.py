@@ -31,17 +31,37 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_EXT_FORMATS = {".parquet": "parquet", ".orc": "orc", ".json": "json",
+                ".jsonl": "json", ".csv": "csv"}
+
+
 @dataclass
 class TableIO:
     spark: SparkSession
     path_or_table: str
-    fmt: str = "auto"  # auto | parquet | iceberg
+    fmt: str = "auto"  # auto | parquet | orc | json | csv | iceberg
 
     def _resolved_fmt(self) -> str:
+        """Content-type dispatch, the engine analog of the reference's
+        extension/header format sniffing (S4: getType lib/index.js:308-346,
+        extensionType lib/index.js:75-94): catalog identifiers go to Iceberg
+        when the runtime is present; paths dispatch on extension — of the path
+        itself, or of the data files inside a directory — defaulting to
+        parquet."""
         if self.fmt != "auto":
             return self.fmt
         if "/" not in self.path_or_table and iceberg_available(self.spark):
             return "iceberg"
+        import os
+
+        candidates = [self.path_or_table]
+        if os.path.isdir(self.path_or_table):
+            candidates += [n for n in sorted(os.listdir(self.path_or_table))
+                           if not n.startswith(("_", "."))]
+        for name in candidates:
+            for ext, fmt in _EXT_FORMATS.items():
+                if name.endswith(ext):
+                    return fmt
         return "parquet"
 
     def snapshot_id(self) -> str:
@@ -53,12 +73,16 @@ class TableIO:
         return parquet_snapshot_id(self.path_or_table)
 
     def read(self, snapshot_id: str | None = None) -> DataFrame:
-        if self._resolved_fmt() == "iceberg":
+        fmt = self._resolved_fmt()
+        if fmt == "iceberg":
             r = self.spark.read.format("iceberg")
             if snapshot_id:
                 r = r.option("snapshot-id", snapshot_id)
             return r.load(self.path_or_table)
-        return self.spark.read.parquet(self.path_or_table)
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        return reader.format(fmt).load(self.path_or_table)
 
     def append(self, df: DataFrame, target: str, partition_by: tuple[str, ...] = ()) -> None:
         if self._resolved_fmt() == "iceberg":

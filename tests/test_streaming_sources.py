@@ -112,3 +112,21 @@ def test_stateful_turn_monitor_across_batches(spark, tmp_path):
         ("c2", 3, "gap"),             # batch-1 skip past 0
         ("c1", 2, "dup_or_replay"),   # batch-2 replay of batch-1 state
     }, got
+
+
+def test_tableio_format_dispatch(spark, fixture60, tmp_path):
+    """S4 analog: extension-driven format dispatch — the same fixture read
+    back identically through parquet, orc, json, and csv."""
+    df = fixture60.to_spark(spark).select("conv_id", "turn_idx", "role")
+    expected = sorted(map(tuple, df.collect()))
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / f"t_{fmt}.{fmt}")
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.format(fmt).save(p)
+        tio = TableIO(spark, p)
+        assert tio._resolved_fmt() == fmt
+        got = tio.read().select("conv_id", "turn_idx", "role")
+        got = got.withColumn("turn_idx", got["turn_idx"].cast("int"))
+        assert sorted(map(tuple, got.collect())) == expected
