@@ -334,6 +334,21 @@ def q_sessionize(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical aggregate via ROLLUP (year, month): per-month, per-year
+    subtotal, and grand-total rows in one pass. Subtotal NULL keys become -1
+    sentinels so the driver's column-sorted value hash is well-defined."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.withColumn("yr", F.year("o_orderdate"))
+            .withColumn("mo", F.month("o_orderdate"))
+            .rollup("yr", "mo")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select(F.coalesce(F.col("yr").cast("bigint"), F.lit(-1)).alias("yr"),
+                    F.coalesce(F.col("mo").cast("bigint"), F.lit(-1)).alias("mo"),
+                    "revenue", "n_orders"))
+
+
 def q_monthly_revenue(spark, sf_dir):
     """Date scalar functions + agg: revenue per calendar month."""
     o = _t(spark, sf_dir, "orders")
@@ -815,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sessionize": q_sessionize,
         "monthly_revenue": q_monthly_revenue,
+        "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
         "json_extract_stats": q_json_extract_stats,
         "profile_len_hist": q_profile_len_hist,
@@ -1086,6 +1102,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+                   COALESCE(CAST(month(o_orderdate) AS BIGINT), -1) AS mo,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
         """,
         "set_ops_customers": """
             SELECT CAST(o_custkey AS BIGINT) AS o_custkey FROM orders

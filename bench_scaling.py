@@ -11,7 +11,8 @@ single-box scheduling/bandwidth noise moves between pairs across boots while a
 real 4N-executor cluster multiplies bandwidth with cores.
 Efficiency = (T_N / T_4N) / 4.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/scaling_last_run.{md,json} and prints one JSON line (BENCH/BASELINE.md
+is the hand-curated cross-boot record).
 Env: SPARK_GRAFT_SCALE_TURNS (default 80M), SPARK_GRAFT_SCALE_LEVELS ("2,8,32").
 """
 
@@ -179,8 +180,12 @@ def main() -> None:
         "",
     ]
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
+    # fresh numbers go to scaling_last_run.md; BENCH/BASELINE.md is the
+    # hand-curated cross-boot evidence file and must not be clobbered
+    with open(os.path.join(repo, "BENCH", "scaling_last_run.md"), "w") as f:
         f.write("\n".join(lines))
+    with open(os.path.join(repo, "BENCH", "scaling_last_run.json"), "w") as f:
+        f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":
