@@ -121,6 +121,9 @@ def test_corpus_profile_fuses_into_one_codegen_stage(spark):
     pass over a pruned (doc_id, text) scan."""
     from owl2jsonschema_js_spark.operators.textstats import corpus_profile
 
+    # other test modules .cache() this scan; a cached relation legitimately
+    # bypasses parquet column pruning, so clear it before asserting pruning
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = corpus_profile(docs)
     assert codegen_stage_count(p) == 1
