@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ann_top5",
     "ann_lsh_pairs",
     "text_quality",
+    "corpus_profile",
 ]
 
 

@@ -18,15 +18,21 @@ Design goals (BASELINE.json north rule):
 """
 
 from owl2jsonschema_js_spark.spec import ConstraintSpec
-from owl2jsonschema_js_spark.compile import compile_spec, RulePlan
+from owl2jsonschema_js_spark.compile import compile_spec, compile_schema, RulePlan
 from owl2jsonschema_js_spark.runner import ValidationRunner, ValidationResult
+from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
+from owl2jsonschema_js_spark.sources import TableIO
 
 __version__ = "0.1.0"
 
 __all__ = [
     "ConstraintSpec",
     "compile_spec",
+    "compile_schema",
     "RulePlan",
     "ValidationRunner",
     "ValidationResult",
+    "Manifest",
+    "ResumableValidator",
+    "TableIO",
 ]
