@@ -111,7 +111,7 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()

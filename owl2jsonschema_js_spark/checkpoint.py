@@ -107,7 +107,12 @@ class ResumableValidator:
             pending = df.where(~df[self.part_col].cast("string").isin(*done))
 
         result = self.runner.run(pending, catalog=catalog)
+        # C20/C21: schema metadata (title/translations/links) rides the
+        # manifest keyed by constraint version — normalized provenance for the
+        # schema_id column on violation rows (lib/index.js:442,957-999).
+        self.manifest.meta.setdefault("specs", {})[version] = result.spec_meta
         verdicts = result.collect_verdicts()
+        result.unpersist()
 
         recorded = 0
         for part in sorted(verdicts):

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -43,6 +44,9 @@ from owl2jsonschema_js_spark.spec import ConstraintSpec, TableConstraints
 from owl2jsonschema_js_spark.xsd_facets import FORMAT_PATTERNS
 
 _MAX_REF_DEPTH = 8
+
+# P13: the reference's legacy-spelling skip (lib/index.js:913-916)
+_LEGACY_RE = re.compile(r"\(legacy spelling;")
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -70,6 +74,7 @@ class RulePlan:
     row_rules: list[RowRule] = field(default_factory=list)
     table: TableConstraints = field(default_factory=TableConstraints)
     schema_issues: list[str] = field(default_factory=list)
+    ignored: list[str] = field(default_factory=list)  # P13 skip-list hits
 
     @property
     def rule_ids(self) -> list[str]:
@@ -301,6 +306,15 @@ def compile_spec(spec: ConstraintSpec, df_schema: T.StructType) -> RulePlan:
         ))
 
     for key, subschema in spec.properties.items():
+        # P13 — schema.org ignore-filter: skip the property entirely when its
+        # key is on the skip-list or its description carries the legacy-
+        # spelling marker (lib/index.js:913-916 + lib/ignore-properties.json).
+        # Compile-time set lookup here; at scale, were properties rows instead
+        # of spec entries, this is a broadcast isin + rlike anti-filter.
+        if key in spec.ignore_properties or _LEGACY_RE.search(
+                str(subschema.get("description", "")) if isinstance(subschema, dict) else ""):
+            plan.ignored.append(key)
+            continue
         if key not in fields:
             plan.schema_issues.append(f"property {key!r} missing from table schema")
             continue
@@ -352,6 +366,18 @@ def compile_spec(spec: ConstraintSpec, df_schema: T.StructType) -> RulePlan:
         plan.row_rules.append(RowRule(
             rule_id=f"$.{comb}", key="",
             ok=F.coalesce(pure, F.lit(False)),
+            observed=F.lit(""),
+        ))
+
+    # C17 — disjointWith exclusivity (optional; the reference captures
+    # owl:disjointWith but never emits it, lib/index.js:606-614): two row
+    # subschemas must not BOTH hold -> ok = ~(predA & predB).
+    for i, dj in enumerate(spec.disjoint):
+        pa = _compile_row_subschema(dj["a"], spec, fields)
+        pb = _compile_row_subschema(dj["b"], spec, fields)
+        plan.row_rules.append(RowRule(
+            rule_id=f"$.disjoint.{dj.get('id', i)}", key="",
+            ok=F.coalesce(~(pa & pb), F.lit(True)),
             observed=F.lit(""),
         ))
     return plan

@@ -23,22 +23,28 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
 )
 
-FEATURES_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>"
+FEATURES_SCHEMA = ("media_id long, kind string, n_bytes long, byte_sum long, "
+                   "feature array<float>")
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table in the canonical multimodal shape."""
+    """Deterministic fake media table in the canonical multimodal shape.
+
+    Every derived field is a pure arithmetic function of the row id (no
+    engine-specific hash), so an independent SQL oracle can reproduce the
+    table exactly — kind = id%3, n_frames = (id*37+11)%300+1, payload =
+    4x-repeated sha256 hex of 'm<id>' (256 bytes)."""
     kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
-        F.element_at(kinds, (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.element_at(kinds, (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int")).alias("kind"),
         # payload: deterministic pseudo-bytes (sha of the id, repeated)
         F.encode(F.repeat(F.sha2(F.concat(F.lit("m"), F.col("id")), 256), 4), "utf-8").alias("payload"),
         F.struct(
-            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(512)) + 16).cast("int").alias("width"),
-            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(512)) + 16).cast("int").alias("height"),
+            (F.pmod(F.col("id") * 7, F.lit(512)) + 16).cast("int").alias("width"),
+            (F.pmod(F.col("id") * 13, F.lit(512)) + 16).cast("int").alias("height"),
             F.lit(16000).alias("sample_rate"),
-            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(300)) + 1).cast("int").alias("n_frames"),
+            (F.pmod(F.col("id") * 37 + 11, F.lit(300)) + 1).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
     return df
@@ -57,9 +63,10 @@ def extract_features(media: DataFrame, feat_dim: int = 16,
             if not decode_stub:
                 raise NotImplementedError(
                     "real media decode requires PIL/torchaudio/ffmpeg — not in container")
-            feats = []
+            feats, sums = [], []
             for payload in pdf["payload"]:
                 b = np.frombuffer(payload, dtype=np.uint8)
+                sums.append(int(b.astype(np.int64).sum()))
                 # deterministic fake embedding: binned byte means
                 chunks = np.array_split(b.astype(np.float32), feat_dim)
                 feats.append(np.array([c.mean() if c.size else 0.0 for c in chunks],
@@ -68,6 +75,9 @@ def extract_features(media: DataFrame, feat_dim: int = 16,
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
+                # integer-exact content checksum: lets an independent oracle
+                # verify the bytes actually traversed the Arrow batch path
+                "byte_sum": pd.Series(sums, dtype="int64"),
                 "feature": feats,
             })
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from owl2jsonschema_js_spark.compile import RulePlan
 
 DEFAULT_PART_COL = "part"
-VIOLATION_COLUMNS = ("part", "rule_id", "conv_id", "turn_idx", "observed")
+VIOLATION_COLUMNS = ("part", "rule_id", "conv_id", "turn_idx", "observed", "schema_id")
 
 
 def _safe(rule_id: str) -> str:
@@ -50,9 +50,24 @@ class ValidationResult:
     """Lazy handles over the run's outputs; nothing is collected until asked."""
 
     checked: DataFrame          # input + ok__<rule> boolean columns + ok_all
-    violations: DataFrame       # (part, rule_id, conv_id, turn_idx, observed)
+    violations: DataFrame       # (part, rule_id, conv_id, turn_idx, observed, schema_id)
     verdicts: DataFrame         # (part, n_rows, rule_id, n_violations) long-form
     rule_ids: list[str] = field(default_factory=list)
+    # C20/C21 provenance: schema metadata (id/title/version/translations/links)
+    # normalized here and in the checkpoint manifest — violation rows carry
+    # only the schema_id key (denormalizing translations onto 10^12 rows
+    # would be the wrong trade at scale).
+    spec_meta: dict = field(default_factory=dict)
+    _cached: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release intermediates persisted by the run (the gated-uniqueness
+        grouped aggregate). Call after the outputs are materialized —
+        long-lived sessions (streaming foreachBatch, repeated bench loops)
+        otherwise accumulate cached plans."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
 
     def verdict_summary(self) -> DataFrame:
         """(part, n_rows, n_violations, pass) — the per-partition verdict."""
@@ -325,10 +340,14 @@ class ValidationRunner:
         if t.referential:
             table_parts.append(self._referential_violations(df, catalog))
 
-        # violations (lazy row-level detail for sinks)
+        # violations (lazy row-level detail for sinks); schema_id is the
+        # provenance key into spec_meta (C20/C21) — constant-folded by
+        # Catalyst, costs nothing in the scan
         violations = self._row_violations(checked)
         for p in table_parts:
             violations = violations.unionByName(p)
+        violations = violations.withColumn(
+            "schema_id", F.lit(self.plan.spec.schema_id))
 
         # verdicts: row-rule counts ride the row scan; table-rule counts are
         # tiny aggregations of the (small) table-violation outputs
@@ -369,4 +388,6 @@ class ValidationRunner:
             violations=violations,
             verdicts=verdicts,
             rule_ids=self.plan.rule_ids,
+            spec_meta=self.plan.spec.meta(),
+            _cached=[grouped] if (use_gated and gate_ok and grouped is not None) else [],
         )

@@ -48,6 +48,19 @@ class ConstraintSpec:
     definitions: dict[str, dict] = field(default_factory=dict)
     combinators: dict[str, Any] = field(default_factory=dict)  # allOf/anyOf/oneOf/not at doc level
     table: TableConstraints = field(default_factory=TableConstraints)
+    # C20/C21 metadata the reference keeps in every schema (lib/index.js:442,
+    # 957-999): carried into run provenance (violation rows get schema_id;
+    # translations/links ride the checkpoint manifest — normalized, never
+    # denormalized onto 10^12 violation rows).
+    translations: dict[str, dict] = field(default_factory=dict)
+    links: list = field(default_factory=list)
+    # P13: schema.org ignore-filter (lib/ignore-properties.json +
+    # lib/index.js:913-916) — property keys whose rules are skipped at compile.
+    ignore_properties: frozenset = frozenset()
+    # C17: owl:disjointWith exclusivity (captured but never emitted by the
+    # reference, lib/index.js:606-614) — engine extension `x-disjoint`:
+    # [{id?, a: subschema, b: subschema}] -> rule ~(predA & predB).
+    disjoint: tuple = ()
 
     @property
     def version(self) -> str:
@@ -96,7 +109,157 @@ class ConstraintSpec:
             definitions=dict(doc.get("definitions", {}) or {}),
             combinators={k: doc[k] for k in ("allOf", "anyOf", "oneOf", "not") if k in doc},
             table=table,
+            translations=dict(doc.get("translations", {}) or {}),
+            links=list(doc.get("links", ()) or ()),
+            ignore_properties=frozenset(doc.get("x-ignore-properties", ()) or ()),
+            disjoint=tuple(doc.get("x-disjoint", ()) or ()),
         )
+
+    def meta(self) -> dict[str, Any]:
+        """Schema metadata for provenance (manifest lineage): the fields the
+        reference carries in every emitted schema but never evaluates —
+        translations (C21, lib/index.js:442,458-468) and hyperschema links
+        (C20, lib/index.js:957-999) — plus id/title/version."""
+        return {
+            "schema_id": self.schema_id,
+            "title": self.title,
+            "constraint_version": self.version,
+            "translations": self.translations,
+            "links": self.links,
+        }
+
+    @staticmethod
+    def _external_refs(doc: dict[str, Any]) -> list[str]:
+        """External `$ref`s in the doc-level allOf — the reference's subclass
+        inheritance emission `allOf:[{$ref:'<Supertype>'+suffix}]`
+        (lib/index.js:896-898)."""
+        out = []
+        for s in doc.get("allOf", ()) or ():
+            if (isinstance(s, dict) and isinstance(s.get("$ref"), str)
+                    and not s["$ref"].startswith("#")):
+                out.append(s["$ref"])
+        return out
+
+    @classmethod
+    def merge_ancestors(cls, root: str, docs: dict[str, dict]) -> "ConstraintSpec":
+        """Cross-document supertype inheritance merge (C13/J4).
+
+        The reference walks the `subClassOf` chain transitively, reversing it
+        root-first (lib/index.js:537-566, reverse at 567), and emits each
+        subclass schema with ``allOf:[{$ref:'<Supertype>.json'}]``
+        (lib/index.js:896-898). This classmethod is the evaluation-side
+        counterpart: given the full document set, it resolves those external
+        refs transitively (cycle-safe, dedup'd like `arrayUnique`,
+        lib/index.js:64-73) and folds the chain into ONE spec whose rule set
+        is the draft-4-allOf conjunction of every document root-first:
+
+          * ``required``: ordered union.
+          * ``properties``: same key in several docs -> ``{"allOf":[subs]}``
+            (all constraints apply, child never overrides an ancestor).
+          * residual doc-level combinators: collected into the merged allOf.
+          * ``x-table-constraints``: conjunction — tightest min/max bounds;
+            later (child) docs win for unique/referential/contiguous.
+          * translations/links metadata (C20/C21): merged / concatenated.
+
+        The merged doc records the chain in ``x-ancestors`` so provenance
+        (and the manifest) can show which documents contributed."""
+        def lookup(ref: str) -> str:
+            if ref in docs:
+                return ref
+            base = ref.rsplit("/", 1)[-1]
+            if base in docs:
+                return base
+            raise KeyError(f"unresolved external $ref {ref!r} "
+                           f"(known docs: {sorted(docs)})")
+
+        chain: list[str] = []
+        seen: set[str] = set()
+
+        def walk(did: str) -> None:
+            if did in seen:   # cycle-safe (the reference's indexOf guard)
+                return
+            seen.add(did)
+            for ref in cls._external_refs(docs[did]):
+                walk(lookup(ref))
+            chain.append(did)  # post-order => ancestors (root) first
+
+        walk(lookup(root))
+        child = docs[lookup(root)]
+
+        required: list[str] = []
+        props: dict[str, list] = {}
+        definitions: dict[str, dict] = {}
+        inline_combs: list = []
+        translations: dict[str, dict] = {}
+        links: list = []
+        ignore: list[str] = []
+        disjoint: list = []
+        tc: dict[str, Any] = {}
+        for did in chain:
+            d = docs[did]
+            for k in d.get("required", ()) or ():
+                if k not in required:
+                    required.append(k)
+            for k, sub in (d.get("properties") or {}).items():
+                props.setdefault(k, []).append(sub)
+            definitions.update(d.get("definitions") or {})
+            ext = set(cls._external_refs(d))
+            inline_combs += [s for s in (d.get("allOf") or ())
+                             if not (isinstance(s, dict) and s.get("$ref") in ext)]
+            inline_combs += [{c: d[c]} for c in ("anyOf", "oneOf", "not") if c in d]
+            for fld, by_lang in (d.get("translations") or {}).items():
+                translations.setdefault(fld, {}).update(by_lang)
+            links += d.get("links") or []
+            ignore += [k for k in (d.get("x-ignore-properties") or ()) if k not in ignore]
+            disjoint += d.get("x-disjoint") or []
+            dtc = d.get("x-table-constraints") or {}
+            for k, v in dtc.items():
+                if k == "minItems" and "minItems" in tc:
+                    tc[k] = max(tc[k], v, key=lambda x: x["value"])
+                elif k == "maxItems" and "maxItems" in tc:
+                    tc[k] = min(tc[k], v, key=lambda x: x["value"])
+                else:
+                    tc[k] = v
+
+        merged: dict[str, Any] = {
+            "type": "object",
+            "id": child.get("id", root),
+            "title": child.get("title", ""),
+        }
+        if required:
+            merged["required"] = required
+
+        def _dedup(subs: list) -> list:
+            # identical subschema contributed twice (diamond inheritance) —
+            # dedup like the reference's self-$ref dedup (lib/index.js:1025-1030)
+            out, keys = [], set()
+            for s in subs:
+                k = json.dumps(s, sort_keys=True)
+                if k not in keys:
+                    keys.add(k)
+                    out.append(s)
+            return out
+
+        merged["properties"] = {
+            k: (ss[0] if len(ss := _dedup(subs)) == 1 else {"allOf": ss})
+            for k, subs in props.items()
+        }
+        if definitions:
+            merged["definitions"] = definitions
+        if inline_combs:
+            merged["allOf"] = inline_combs
+        if translations:
+            merged["translations"] = translations
+        if links:
+            merged["links"] = links
+        if ignore:
+            merged["x-ignore-properties"] = ignore
+        if disjoint:
+            merged["x-disjoint"] = disjoint
+        if tc:
+            merged["x-table-constraints"] = tc
+        merged["x-ancestors"] = chain[:-1]
+        return cls.parse(merged)
 
     def resolve_ref(self, ref: str) -> dict[str, Any]:
         """Resolve an in-document ``$ref`` (``#`` or ``#/definitions/name``).

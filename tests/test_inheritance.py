@@ -1,0 +1,188 @@
+"""C13/J4 cross-document supertype merge, P13 ignore-filter, C17 disjoint,
+C20/C21 provenance carry.
+
+The reference emits subclass schemas as ``allOf:[{$ref:'<Supertype>.json'}]``
+after a transitive root-first ancestor walk (lib/index.js:537-566,896-898);
+``ConstraintSpec.merge_ancestors`` is the evaluation-side counterpart. The
+independent oracle here is python-jsonschema's Draft4Validator with a ref
+store — it resolves the same external refs natively, so engine(merged doc)
+must agree with jsonschema(child doc + store) row for row."""
+
+import jsonschema
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from owl2jsonschema_js_spark.compile import compile_spec
+from owl2jsonschema_js_spark.spec import ConstraintSpec
+
+DOCS = {
+    "Base.json": {
+        "id": "Base.json", "type": "object",
+        "required": ["role"],
+        "properties": {"role": {"enum": ["user", "assistant", "tool"]},
+                       "value": {"minimum": 0}},
+        "translations": {"title": {"de": "Basis"}},
+        "links": [{"rel": "self", "href": "{+base}"}],
+    },
+    "Mid.json": {
+        "id": "Mid.json", "type": "object",
+        "allOf": [{"$ref": "Base.json"}],
+        "properties": {"text": {"minLength": 2}},
+        "translations": {"title": {"fr": "Milieu"}},
+    },
+    "Child.json": {
+        "id": "Child.json", "type": "object",
+        "allOf": [{"$ref": "Mid.json"}],
+        "properties": {"value": {"maximum": 100}},
+    },
+}
+
+ROWS = [
+    ("user", "hello", 5.0),        # valid
+    ("narrator", "hello", 5.0),    # Base enum violated
+    ("user", "x", 5.0),            # Mid minLength violated
+    ("user", "hello", 150.0),      # Child maximum violated
+    ("user", "hello", -3.0),       # Base minimum violated (same-key conjunction)
+    (None, "hello", 5.0),          # Base required violated
+    ("user", None, 50.0),          # null text: valid (null == absent)
+]
+SCHEMA = T.StructType([T.StructField("role", T.StringType()),
+                       T.StructField("text", T.StringType()),
+                       T.StructField("value", T.DoubleType())])
+
+
+def _merged_spec() -> ConstraintSpec:
+    return ConstraintSpec.merge_ancestors("Child.json", DOCS)
+
+
+def test_merge_chain_root_first_and_rules_union():
+    spec = _merged_spec()
+    assert spec.doc["x-ancestors"] == ["Base.json", "Mid.json"]
+    assert spec.schema_id == "Child.json"
+    assert spec.required == ("role",)
+    # same-key conjunction: value constrained by Base AND Child
+    assert spec.properties["value"] == {"allOf": [{"minimum": 0}, {"maximum": 100}]}
+    assert spec.properties["text"] == {"minLength": 2}
+    # C21 translations merged across the chain
+    assert spec.translations["title"] == {"de": "Basis", "fr": "Milieu"}
+    assert spec.links and spec.links[0]["rel"] == "self"
+
+
+def test_merged_engine_agrees_with_jsonschema_ref_store(spark):
+    resolver = jsonschema.RefResolver(base_uri="", referrer=DOCS["Child.json"],
+                                      store=DOCS)
+    validator = jsonschema.Draft4Validator(DOCS["Child.json"], resolver=resolver)
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = compile_spec(_merged_spec(), df.schema)
+    ok_all = F.lit(True)
+    for r in plan.row_rules:
+        ok_all = ok_all & r.ok
+    got = [bool(r["ok"]) for r in
+           df.select(ok_all.alias("ok")).collect()]
+    expected = [validator.is_valid({k: v for k, v in
+                                    zip(("role", "text", "value"), row)
+                                    if v is not None})
+                for row in ROWS]
+    assert got == expected
+
+
+def test_merge_diamond_dedups_shared_ancestor():
+    docs = {
+        "Root.json": {"id": "Root.json", "type": "object",
+                      "properties": {"v": {"minimum": 0}}},
+        "A.json": {"id": "A.json", "type": "object",
+                   "allOf": [{"$ref": "Root.json"}], "properties": {}},
+        "B.json": {"id": "B.json", "type": "object",
+                   "allOf": [{"$ref": "Root.json"}], "properties": {}},
+        "Leaf.json": {"id": "Leaf.json", "type": "object",
+                      "allOf": [{"$ref": "A.json"}, {"$ref": "B.json"}],
+                      "properties": {}},
+    }
+    spec = ConstraintSpec.merge_ancestors("Leaf.json", docs)
+    assert spec.doc["x-ancestors"] == ["Root.json", "A.json", "B.json"]
+    # Root's subschema contributed once, not once per path
+    assert spec.properties["v"] == {"minimum": 0}
+
+
+def test_merge_cycle_is_safe():
+    docs = {
+        "A.json": {"id": "A.json", "type": "object",
+                   "allOf": [{"$ref": "B.json"}],
+                   "properties": {"x": {"minimum": 0}}},
+        "B.json": {"id": "B.json", "type": "object",
+                   "allOf": [{"$ref": "A.json"}],
+                   "properties": {"y": {"maximum": 9}}},
+    }
+    spec = ConstraintSpec.merge_ancestors("A.json", docs)
+    assert set(spec.properties) == {"x", "y"}
+
+
+def test_merge_unresolved_ref_raises():
+    with pytest.raises(KeyError, match="unresolved external"):
+        ConstraintSpec.merge_ancestors(
+            "A.json", {"A.json": {"id": "A.json", "type": "object",
+                                  "allOf": [{"$ref": "Missing.json"}],
+                                  "properties": {}}})
+
+
+# ----------------------------------------------------------------- P13 ignore
+def test_ignore_filter_skips_key_and_legacy_description(spark):
+    doc = {
+        "type": "object",
+        "properties": {
+            "role": {"enum": ["user"]},
+            "text": {"pattern": "^NOPE$"},
+            "value": {"description": "(legacy spelling; use amount)",
+                      "maximum": -1},
+        },
+        "x-ignore-properties": ["text"],
+    }
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = compile_spec(ConstraintSpec.parse(doc), df.schema)
+    assert sorted(plan.ignored) == ["text", "value"]
+    assert [r.rule_id for r in plan.row_rules] == ["role.enum"]
+
+
+# ------------------------------------------------------------- C17 disjoint
+def test_disjoint_rule_flags_only_joint_membership(spark):
+    doc = {
+        "type": "object", "properties": {},
+        "x-disjoint": [{"id": "user_high",
+                        "a": {"properties": {"role": {"enum": ["user"]}}},
+                        "b": {"required": ["value"],
+                              "properties": {"value": {"minimum": 100}}}}],
+    }
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = compile_spec(ConstraintSpec.parse(doc), df.schema)
+    rule = next(r for r in plan.row_rules if r.rule_id == "$.disjoint.user_high")
+    bad = df.where(~rule.ok).select("role", "value").collect()
+    assert [(r["role"], r["value"]) for r in bad] == [("user", 150.0)]
+
+
+# --------------------------------------------------------- C20/C21 provenance
+def test_violations_carry_schema_id_and_manifest_carries_meta(spark, tmp_path):
+    from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
+    from owl2jsonschema_js_spark.runner import VIOLATION_COLUMNS, ValidationRunner
+
+    doc = dict(DOCS["Base.json"])
+    df = spark.createDataFrame(
+        [("c1", 0, "user", 5.0), ("c1", 1, "narrator", 5.0),
+         ("c2", 0, "tool", -1.0)],
+        "conv_id string, turn_idx int, role string, value double")
+    spec = ConstraintSpec.parse(doc)
+    plan = compile_spec(spec, df.schema)
+    res = ValidationRunner(plan, n_parts=2).run(df)
+    assert tuple(res.violations.columns) == VIOLATION_COLUMNS
+    ids = {r["schema_id"] for r in res.violations.select("schema_id").distinct().collect()}
+    assert ids == {"Base.json"}
+    assert res.spec_meta["translations"] == {"title": {"de": "Basis"}}
+    assert res.spec_meta["links"][0]["rel"] == "self"
+
+    m = Manifest.load(str(tmp_path / "m.json"))
+    rv = ResumableValidator(plan, m, "snap-x", n_parts=2)
+    rv.run(df)
+    m2 = Manifest.load(str(tmp_path / "m.json"))
+    assert spec.version in m2.meta["specs"]
+    assert m2.meta["specs"][spec.version]["schema_id"] == "Base.json"

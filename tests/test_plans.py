@@ -66,14 +66,14 @@ def test_referential_uses_broadcast_join(spark, fixture60, tmp_path):
 def test_tpch_q3_broadcasts_customer(spark):
     import __spark_entry__ as e
 
-    s = explain_str(e.queries()["tpch_q3_topk"](spark, SF), "simple")
+    s = explain_str(e.extra_queries()["tpch_q3_topk"](spark, SF), "simple")
     assert "BroadcastHashJoin" in s
 
 
 def test_topk_is_take_ordered_not_global_sort(spark):
     import __spark_entry__ as e
 
-    s = explain_str(e.queries()["tpch_q3_topk"](spark, SF), "simple")
+    s = explain_str(e.extra_queries()["tpch_q3_topk"](spark, SF), "simple")
     assert "TakeOrderedAndProject" in s
 
 
