@@ -17,12 +17,27 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import time
 
-import numpy as np
+# Pin BLAS to one thread BEFORE numpy import, in parent and (via fork /
+# initializer) workers: otherwise the 1-process baseline already uses many
+# cores through multithreaded matmul, deflating the measured host speedup and
+# inflating any host-normalized efficiency computed against it.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+    os.environ[_v] = "1"
+
+import numpy as np  # noqa: E402
 
 N_TASKS = 32
 LEVELS = (1, 2, 8, 32)
+
+
+def _init_worker():
+    for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+               "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ[_v] = "1"
 
 
 def burn(_):
@@ -34,7 +49,7 @@ def burn(_):
 
 
 def measure(n_procs: int) -> float:
-    with mp.Pool(n_procs) as p:
+    with mp.Pool(n_procs, initializer=_init_worker) as p:
         t0 = time.perf_counter()
         p.map(burn, range(N_TASKS))
         return time.perf_counter() - t0

@@ -107,8 +107,19 @@ def main() -> None:
         if a * 4 in secs:
             result["pairs_4x"][f"{a}_to_{a * 4}"] = round(eff(a, a * 4), 3)
     if result["pairs_4x"]:
-        best = max(result["pairs_4x"].values())
+        # the best-pair flag is a max over (already best-of-3) pairs — a
+        # selection effect, so it is LABELED as such; the median-pair flag is
+        # the conservative, selection-free criterion readout
+        vals = sorted(result["pairs_4x"].values())
+        best = vals[-1]
+        median = vals[len(vals) // 2] if len(vals) % 2 else sum(
+            vals[len(vals) // 2 - 1:len(vals) // 2 + 1]) / 2
         result["best_4x_efficiency"] = best
+        result["median_4x_efficiency"] = round(median, 3)
+        result["best_pair_pass"] = best >= 0.8
+        result["median_pair_pass"] = median >= 0.8
+        # kept for backward compat with earlier rounds' readers; equals the
+        # labeled best_pair_pass
         result["pass_n_to_4n"] = best >= 0.8
     if probe:
         result["host_ceiling"] = probe
@@ -144,9 +155,12 @@ def main() -> None:
             lines.append(f"* local[{a}] -> local[{b}] (a 4x pair): efficiency {e:.3f}")
         lines += [
             "",
-            f"**N -> 4N evidence (best 4x pair): efficiency "
-            f"{result['best_4x_efficiency']:.3f}** — "
-            f"{'PASS' if result['pass_n_to_4n'] else 'FAIL'} (criterion >= 0.8).",
+            f"**N -> 4N evidence: best 4x pair {result['best_4x_efficiency']:.3f} "
+            f"({'PASS' if result['best_pair_pass'] else 'FAIL'}), median pair "
+            f"{result['median_4x_efficiency']:.3f} "
+            f"({'PASS' if result['median_pair_pass'] else 'FAIL'})** "
+            "(criterion >= 0.8; best-pair is a max over best-of-3 pairs and is",
+            "labeled as such — read it against the host-ceiling probe below).",
             "",
             "Single-box caveat: the VM's 32 vCPUs are backed by a varying number of",
             "physical cores per boot (hypervisor-level sharing; no cgroup quota is",

@@ -114,6 +114,12 @@ def test_lsh_band_join_carries_no_vectors(spark):
     assert "Input [2]" in input_line, input_line
     assert "a_id" in input_line and "b_id" in input_line, input_line
     assert "embedding" not in input_line and " v#" not in input_line, input_line
+    # single signature pass: the pandas_udf signature subtree is persisted, so
+    # every consumer (both self-join sides) reads the cache instead of
+    # re-running the matmul; and candidates come from the band-bucket
+    # equi-join, never a cartesian product
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_corpus_profile_fuses_into_one_codegen_stage(spark):

@@ -130,3 +130,15 @@ def test_tableio_format_dispatch(spark, fixture60, tmp_path):
         got = tio.read().select("conv_id", "turn_idx", "role")
         got = got.withColumn("turn_idx", got["turn_idx"].cast("int"))
         assert sorted(map(tuple, got.collect())) == expected
+
+
+def test_tableio_uri_paths_require_explicit_fmt(spark):
+    """Directory-content sniffing is local-only: URI paths without a
+    recognizable extension must fail loudly instead of silently defaulting to
+    parquet (a remote json/csv directory would otherwise read garbage)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="local-only"):
+        TableIO(spark, "s3a://bucket/transcripts_dir")._resolved_fmt()
+    assert TableIO(spark, "hdfs://nn/logs/x.jsonl")._resolved_fmt() == "json"
+    assert TableIO(spark, "s3a://bucket/dir", fmt="csv")._resolved_fmt() == "csv"
