@@ -118,6 +118,18 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = {**entry_mod.queries(), **entry_mod.extra_queries()}
+
+    # warmup OUTSIDE the timed region: JVM JIT, codegen, parquet footer cache,
+    # and the Arrow/pandas python-worker pool all bill the first query that
+    # touches them otherwise (r01: first suite query 4.3s vs <1s steady-state)
+    from pyspark.sql import functions as F
+    _force(spark.range(2_000_000).agg(F.sum("id")))
+    _force(spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .groupBy("l_returnflag").count())
+    from pyspark.sql.functions import pandas_udf
+    _warm = pandas_udf(lambda s: s, "long")
+    _force(spark.range(100_000).select(_warm("id")))
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()

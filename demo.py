@@ -60,6 +60,27 @@ def main() -> None:
                 .withColumnRenamed("count", "n").collect()}
     assert detected == expected, (detected, expected)
     print("== detected == injected:", json.dumps(detected, sort_keys=True))
+
+    # the reference-user flow: a set of per-class schema docs linked by
+    # allOf:[{$ref:'<Supertype>.json'}] (the reference's OUTPUT layout),
+    # validated as the transitive AND of the chain (merge_ancestors, C13/J4)
+    docs = {
+        "Turn.json": {"id": "Turn.json", "type": "object",
+                      "required": ["text"],
+                      "properties": {"role": {"enum": ["user", "assistant",
+                                                       "system", "tool"]}}},
+        "ToolTurn.json": {"id": "ToolTurn.json", "type": "object",
+                          "allOf": [{"$ref": "Turn.json"}],
+                          "properties": {"turn_idx": {"minimum": 0}}},
+    }
+    spec2 = ConstraintSpec.merge_ancestors("ToolTurn.json", docs)
+    res2 = ValidationRunner(compile_spec(spec2, df.schema), n_parts=4).run(df)
+    inh = {r["rule_id"]: r["n"] for r in
+           res2.violations.groupBy("rule_id").count()
+           .withColumnRenamed("count", "n").collect()}
+    print("== inherited-chain validation (ToolTurn <- Turn):",
+          json.dumps(inh, sort_keys=True),
+          f"[ancestors: {spec2.doc['x-ancestors']}]")
     spark.stop()
 
 

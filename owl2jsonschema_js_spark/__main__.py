@@ -9,12 +9,19 @@ Usage:
     python -m owl2jsonschema_js_spark \
         --input /path/transcripts.parquet \
         --constraints constraint_doc.json \
+        [--root Child.json] \
         [--catalog /path/tool_catalog.parquet] \
         [--output /path/outdir] [--manifest /path/manifest.json] \
         [--n-parts 64]
 
 Reads the table (Iceberg if available, else parquet), validates resumably
 against the manifest, writes violations parquet + canonical verdicts JSON.
+
+``--constraints`` accepts either one draft-4 JSON doc, or a DIRECTORY of
+per-class docs — the reference's file-per-schema OUTPUT layout
+(lib/index.js:763-788) — in which case ``--root`` names the class to
+validate as and its ``allOf:[{$ref:'<Supertype>.json'}]`` ancestor chain is
+merged transitively (ConstraintSpec.merge_ancestors, C13/J4).
 """
 
 from __future__ import annotations
@@ -29,7 +36,11 @@ from pyspark.sql import SparkSession
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="owl2jsonschema_js_spark")
     ap.add_argument("--input", required=True)
-    ap.add_argument("--constraints", required=True, help="draft-4 JSON doc path")
+    ap.add_argument("--constraints", required=True,
+                    help="draft-4 JSON doc path, or a directory of per-class docs")
+    ap.add_argument("--root", default=None,
+                    help="with a --constraints directory: the class doc to "
+                         "validate as (ancestors merged transitively)")
     ap.add_argument("--catalog", default=None)
     ap.add_argument("--output", default=None)
     ap.add_argument("--manifest", default=None)
@@ -47,8 +58,22 @@ def main(argv: list[str] | None = None) -> int:
     snapshot = tio.snapshot_id()
     df = tio.read()
 
-    with open(args.constraints) as f:
-        spec = ConstraintSpec.parse(json.load(f))
+    import os
+
+    if os.path.isdir(args.constraints):
+        if not args.root:
+            ap.error("--constraints is a directory: pass --root <Class>.json")
+        docs = {}
+        for name in sorted(os.listdir(args.constraints)):
+            if name.endswith(".json"):
+                with open(os.path.join(args.constraints, name)) as f:
+                    doc = json.load(f)
+                docs[doc.get("id", name)] = doc
+                docs.setdefault(name, doc)
+        spec = ConstraintSpec.merge_ancestors(args.root, docs)
+    else:
+        with open(args.constraints) as f:
+            spec = ConstraintSpec.parse(json.load(f))
     plan = compile_spec(spec, df.schema)
     for issue in plan.schema_issues:
         print(f"schema issue: {issue}", file=sys.stderr)

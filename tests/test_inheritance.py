@@ -186,3 +186,59 @@ def test_violations_carry_schema_id_and_manifest_carries_meta(spark, tmp_path):
     m2 = Manifest.load(str(tmp_path / "m.json"))
     assert spec.version in m2.meta["specs"]
     assert m2.meta["specs"][spec.version]["schema_id"] == "Base.json"
+
+
+# ------------------------------------------- C19 emitted possibleRef shape
+def test_possible_ref_shape_reduces_to_uri_check(spark):
+    """The reference emits every class-valued property as
+    ``oneOf:[{inline object}, {type:string, format:uri}]`` (possibleRef,
+    lib/index.js:866-878). On a flat string column the object branch is
+    statically false, so draft-4 exactly-one reduces to the uri-string
+    check — the anyURI regex allows relative refs but rejects spaces."""
+    doc = {
+        "type": "object",
+        "definitions": {"possibleRef": {"oneOf": [
+            {"type": "object"},
+            {"type": "string", "format": "uri"}]}},
+        "properties": {"tool": {"$ref": "#/definitions/possibleRef"}},
+    }
+    df = spark.createDataFrame(
+        [("http://example.com/t/3",), ("tool_3",), ("has spaces here",), (None,)],
+        "tool string")
+    plan = compile_spec(ConstraintSpec.parse(doc), df.schema)
+    rule = next(r for r in plan.row_rules if r.rule_id == "tool.combinator")
+    got = [bool(r["ok"]) for r in df.select(rule.ok.alias("ok")).collect()]
+    assert got == [True, True, False, True]  # null == absent -> valid
+
+
+# --------------------------------------------------- CLI directory workflow
+def test_cli_constraints_directory_merges_ancestors(spark, tmp_path, capsys):
+    """The reference-user workflow: point the CLI at a DIRECTORY of per-class
+    schema files (the reference's OUTPUT layout) + --root; ancestor rules
+    must fire on the data."""
+    import json
+
+    from owl2jsonschema_js_spark.__main__ import main
+
+    ddir = tmp_path / "schemas"
+    ddir.mkdir()
+    for name, doc in DOCS.items():
+        (ddir / name).write_text(json.dumps(doc))
+    data = tmp_path / "t.parquet"
+    spark.createDataFrame(
+        [("c1", 0, "user", "hello", 5.0), ("c1", 1, "narrator", "hello", 5.0),
+         ("c2", 0, "user", "x", 150.0)],
+        "conv_id string, turn_idx int, role string, text string, value double",
+    ).write.parquet(str(data))
+    rc = main(["--input", str(data), "--constraints", str(ddir),
+               "--root", "Child.json", "--n-parts", "2"])
+    assert rc == 0
+    blob = json.loads(capsys.readouterr().out)
+    rules = {}
+    for part in blob["verdicts"].values():
+        for rid, n in part["rules"].items():
+            rules[rid] = rules.get(rid, 0) + n
+    # Base enum (narrator), Mid minLength ('x'), Child maximum (150) all fire
+    assert rules.get("role.enum") == 1
+    assert rules.get("text.length") == 1
+    assert rules.get("value.combinator") == 1
