@@ -22,8 +22,9 @@ from owl2jsonschema_js_spark.compile import compile_spec, compile_schema, RulePl
 from owl2jsonschema_js_spark.runner import ValidationRunner, ValidationResult
 from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
 from owl2jsonschema_js_spark.sources import TableIO
+from owl2jsonschema_js_spark.evolve import delta_plan, merge_verdicts, plan_diff
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ConstraintSpec",
@@ -35,4 +36,7 @@ __all__ = [
     "Manifest",
     "ResumableValidator",
     "TableIO",
+    "plan_diff",
+    "delta_plan",
+    "merge_verdicts",
 ]

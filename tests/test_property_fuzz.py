@@ -145,3 +145,38 @@ def test_fuzz_string_keywords_agree_with_jsonschema(spark, frag, values):
     pred = compile_schema(frag, F.col("v"), T.StringType(), spec)
     got = [r[0] for r in df.select(F.coalesce(pred, F.lit(False))).collect()]
     assert got == expected, f"frag={json.dumps(frag)} values={values}"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frags=st.lists(_numeric_frag.map(_clean), min_size=2, max_size=4),
+       values=st.lists(st.one_of(st.integers(-25, 25), st.none()),
+                       min_size=1, max_size=6))
+def test_fuzz_inheritance_chain_agrees_with_jsonschema(spark, frags, values):
+    """Random linear allOf:[{$ref}] chains (the reference's subclass
+    emission) merged by ConstraintSpec.merge_ancestors must agree with
+    python-jsonschema resolving the same refs natively — i.e. the compile-time
+    fold is semantically exactly `validate against every doc in the chain`."""
+    from owl2jsonschema_js_spark.compile import compile_spec
+
+    docs = {}
+    for i, fr in enumerate(frags):
+        doc = {"id": f"D{i}.json", "type": "object", "properties": {"v": fr}}
+        if i > 0:
+            doc["allOf"] = [{"$ref": f"D{i - 1}.json"}]
+        docs[f"D{i}.json"] = doc
+    child_id = f"D{len(frags) - 1}.json"
+    resolver = jsonschema.RefResolver(base_uri="", referrer=docs[child_id],
+                                      store=docs)
+    validator = jsonschema.Draft4Validator(docs[child_id], resolver=resolver)
+    expected = [validator.is_valid({} if v is None else {"v": v})
+                for v in values]
+
+    df = spark.createDataFrame([(v,) for v in values],
+                               T.StructType([T.StructField("v", T.IntegerType())]))
+    plan = compile_spec(ConstraintSpec.merge_ancestors(child_id, docs), df.schema)
+    ok = F.lit(True)
+    for r in plan.row_rules:
+        ok = ok & r.ok
+    got = [bool(r[0]) for r in df.select(ok).collect()]
+    assert got == expected, f"chain={json.dumps(frags)} values={values}"
