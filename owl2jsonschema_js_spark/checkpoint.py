@@ -130,6 +130,65 @@ class ResumableValidator:
         return verdicts
 
 
+    def evolve(self, df: DataFrame, old_plan: RulePlan,
+               catalog: DataFrame | None = None) -> dict:
+        """Upgrade this snapshot's manifest entries from ``old_plan``'s
+        constraint version to this validator's version by revalidating ONLY
+        the rule delta (evolve.py): partitions complete under the old version
+        re-run just the added/changed rules (and table rules iff those
+        changed), old per-rule counts carry over, and the merged verdicts are
+        recorded under the new version. Partitions with no old-version entry
+        fall back to a full validation. At 10^12 rows this turns a
+        constraint-doc edit into a delta-columns scan instead of a 100 TB
+        re-pass — verdicts identical to a from-scratch run (tests)."""
+        from owl2jsonschema_js_spark.evolve import delta_plan, merge_verdicts
+
+        new_version = self.plan.spec.version
+        old_version = old_plan.spec.version
+        df = self.runner._with_partition(df)
+        old_done = self.manifest.completed_parts(self.snapshot_id, old_version)
+
+        old_verdicts: dict = {}
+        for part in old_done:
+            e = self.manifest.entries[Manifest.key(self.snapshot_id, part, old_version)]
+            old_verdicts[part] = {
+                "n_rows": e["metrics"]["n_rows"],
+                "pass": e["verdict"]["pass"],
+                "rules": dict(e["verdict"]["rules"]),
+            }
+
+        sub, diff = delta_plan(old_plan, self.plan)
+        covered = df.where(df[self.part_col].cast("string").isin(*old_done)) \
+            if old_done else df.where("1=0")
+        if diff.is_noop or not (sub.row_rules or diff.table_changed):
+            delta_verdicts = {p: {"n_rows": v["n_rows"], "rules": {}}
+                              for p, v in old_verdicts.items()}
+        else:
+            res = ValidationRunner(sub, part_col=self.part_col,
+                                   n_parts=self.runner.n_parts).run(covered, catalog=catalog)
+            delta_verdicts = res.collect_verdicts()
+            res.unpersist()
+        merged = merge_verdicts(old_verdicts, delta_verdicts, diff)
+
+        # partitions never validated under the old version fall back to a full
+        # new-version run (empty set -> run() over an empty frame, a no-op;
+        # partition pruning keeps the filtered scan cheap either way)
+        uncovered = df.where(~df[self.part_col].cast("string").isin(*old_done)) \
+            if old_done else df
+        merged.update(self.run(uncovered, catalog=catalog))
+
+        self.manifest.meta.setdefault("specs", {})[new_version] = self.plan.spec.meta()
+        for part in sorted(merged):
+            v = merged[part]
+            self.manifest.record(
+                self.snapshot_id, part, new_version,
+                verdict={"pass": v["pass"], "rules": dict(sorted(v["rules"].items()))},
+                metrics={"n_rows": v["n_rows"]},
+            )
+        self.manifest.write()
+        return merged
+
+
 def parquet_snapshot_id(path: str) -> str:
     """Stand-in snapshot id for plain-parquet fixtures (no Iceberg runtime jar
     in this sandbox — SURVEY.md §7 milestone-0 note): content hash of the file

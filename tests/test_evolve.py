@@ -70,3 +70,55 @@ def test_delta_with_table_change_reruns_table_rules(spark, fixture60):
     full = ValidationRunner(p2, n_parts=4).run(df).collect_verdicts()
     dv = ValidationRunner(sub, n_parts=4).run(df).collect_verdicts()
     assert merge_verdicts(v1, dv, d) == full
+
+
+def test_manifest_evolve_matches_from_scratch(spark, fixture60, tmp_path):
+    """ResumableValidator.evolve: manifest entries recorded via delta
+    revalidation must equal the entries a from-scratch new-version run
+    records (same snapshot)."""
+    from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
+
+    df = fixture60.to_spark(spark)
+    p1 = compile_spec(ConstraintSpec.parse(V1), df.schema)
+    p2 = compile_spec(ConstraintSpec.parse(V2), df.schema)
+    mpath, spath = str(tmp_path / "evolved.json"), str(tmp_path / "scratch.json")
+
+    ResumableValidator(p1, Manifest.load(mpath), "snap-1", n_parts=4).run(df)
+    ResumableValidator(p2, Manifest.load(mpath), "snap-1", n_parts=4) \
+        .evolve(df, old_plan=p1)
+    ResumableValidator(p2, Manifest.load(spath), "snap-1", n_parts=4).run(df)
+
+    v2 = p2.spec.version
+    evolved = {k: v for k, v in Manifest.load(mpath).entries.items()
+               if k.endswith(v2)}
+    scratch = {k: v for k, v in Manifest.load(spath).entries.items()
+               if k.endswith(v2)}
+    assert evolved and evolved == scratch
+
+
+def test_manifest_evolve_noop_diff_copies_verdicts(spark, fixture60, tmp_path):
+    """A metadata-only doc edit (new version hash, identical rules) must
+    upgrade the manifest by carrying verdicts over — no delta rules run."""
+    from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
+    from owl2jsonschema_js_spark.evolve import plan_diff
+
+    df = fixture60.to_spark(spark)
+    v1b = dict(V1, title="renamed only")
+    p1 = compile_spec(ConstraintSpec.parse(V1), df.schema)
+    p1b = compile_spec(ConstraintSpec.parse(v1b), df.schema)
+    assert p1.spec.version != p1b.spec.version
+    assert plan_diff(p1, p1b).is_noop
+
+    mpath = str(tmp_path / "m.json")
+    ResumableValidator(p1, Manifest.load(mpath), "snap-1", n_parts=4).run(df)
+    ResumableValidator(p1b, Manifest.load(mpath), "snap-1", n_parts=4) \
+        .evolve(df, old_plan=p1)
+    m = Manifest.load(mpath)
+    old = {k.split("|")[1]: v for k, v in m.entries.items()
+           if k.endswith(p1.spec.version)}
+    new = {k.split("|")[1]: v for k, v in m.entries.items()
+           if k.endswith(p1b.spec.version)}
+    assert old and set(old) == set(new)
+    for part in old:
+        assert old[part]["verdict"] == new[part]["verdict"]
+        assert old[part]["metrics"] == new[part]["metrics"]
