@@ -925,6 +925,19 @@ def q_multimodal_frames(spark, sf_dir):
                          F.col("frame_no").cast("bigint").alias("frame_no"))
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Full dedup pipeline shape: minhash-LSH pairs -> connected components
+    (iterative min-label propagation) -> drop every non-representative
+    cluster member. Returns (dropped_id, cluster_id), deterministic."""
+    from owl2jsonschema_js_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cl = dup_clusters(minhash_lsh_pairs(docs, threshold=0.7))
+    return (cl.where(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").cast("bigint").alias("dropped_id"),
+                    F.col("cluster_id").cast("bigint").alias("cluster_id")))
+
+
 def q_resume_manifest(spark, sf_dir):
     """Checkpoint/resume through the public API: run validation with an
     injected failure after 2 partitions, resume, and return the final
@@ -1048,6 +1061,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_histogram": q_gap_histogram,
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q14": q_tpch_q14,
+        "dedup_survivors": q_dedup_survivors,
     }
 
 

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doclen_percentiles",
     "dedup_exact",
     "minhash_lsh_dups",
+    "dedup_survivors",
     "simhash_dups",
     "ann_top5",
     "ann_lsh_pairs",

@@ -205,6 +205,59 @@ def minhash_lsh_pairs(
             .where(F.col("jaccard") >= threshold))
 
 
+def dup_clusters(pairs: DataFrame, max_iter: int = 20,
+                 a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster_id), where
+    cluster_id is the component's minimum id.
+
+    The step every dedup pipeline needs after pair generation: pairs are not
+    deletable units — transitive groups are (a~b, b~c must collapse to ONE
+    survivor even when (a,c) was never emitted). Iterative min-label
+    propagation: each round every node adopts the min label among itself and
+    its neighbors; converges in O(component diameter) rounds. Each round is
+    one key-width join + one groupBy over the EDGE list (never the docs
+    table), and near-dup components are small by construction (pairs come out
+    of bounded LSH buckets), so diameter is tiny; ``max_iter`` bounds
+    pathological chains. Convergence is checked with a count per round — the
+    standard action-per-iteration shape of distributed iterative algorithms.
+    Only ids that appear in some pair are returned (singletons are their own
+    survivors by definition)."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")).persist())
+    for _ in range(max_iter):
+        prop = (edges.join(labels.withColumnsRenamed({"id": "dst", "label": "nb"}),
+                           "dst")
+                .groupBy("src").agg(F.min("nb").alias("nb")))
+        new = (labels.join(prop.withColumnRenamed("src", "id"), "id", "left")
+               .select("id", F.least(F.col("label"),
+                                     F.coalesce(F.col("nb"), F.col("label")))
+                       .alias("label")).persist())
+        changed = (new.withColumnRenamed("label", "nl").join(labels, "id")
+                   .where(F.col("nl") != F.col("label")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
+    """Keep one document per near-dup cluster (the min-id representative) and
+    every unpaired document. Implemented as a left_anti join of the docs table
+    against the non-representative cluster members — the docs table is never
+    shuffled on anything but its id."""
+    members = dup_clusters(pairs, max_iter=max_iter)
+    losers = members.where(F.col("id") != F.col("cluster_id")) \
+                    .select(F.col("id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash_col(text_col: str = "text", bits: int = 64):
     """64-bit SimHash as a single JVM expression: sum over distinct tokens of
     (+1/-1) per bit of xxhash64(token), then sign -> bit. aggregate() keeps it

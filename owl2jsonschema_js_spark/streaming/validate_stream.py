@@ -42,6 +42,39 @@ def windowed_role_counts(
     )
 
 
+def drift_monitor(baseline: dict, out_path: str, checkpoint_dir: str,
+                  min_count: int = 50):
+    """foreachBatch drift sink: per micro-batch, aggregate the per-role
+    text-length histogram (one partial-agg groupBy of the batch — the only
+    distributed work), run KS+PSI against the checkpointed baseline profile
+    (driver-side on roles x 32 bins), and append one JSON line per batch to
+    ``out_path``. The length lane is stateless so it streams cleanly;
+    turn-gap drift needs cross-batch per-conversation ordering state and
+    stays on the batch path (drift.py), which is the honest split.
+
+    Returns an attach(stream_df) factory like :func:`violations_writer`."""
+    import json
+
+    from owl2jsonschema_js_spark.drift import (collect_hists, drift_report,
+                                               length_histogram, N_BINS)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = {"len_hist": collect_hists(length_histogram(batch_df)),
+               "n_bins": N_BINS}
+        rep = drift_report(cur, baseline, min_count=min_count)
+        with open(out_path, "a") as f:
+            f.write(json.dumps({"batch_id": batch_id, **rep},
+                               sort_keys=True) + "\n")
+
+    def attach(stream_df: DataFrame):
+        return (stream_df.writeStream
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True))
+
+    return attach
+
+
 def violations_writer(plan: RulePlan, out_path: str, checkpoint_dir: str,
                       catalog: DataFrame | None = None):
     """foreachBatch sink: run the batch violation extraction on each

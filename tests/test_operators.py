@@ -212,3 +212,25 @@ def test_multimodal_frame_sampling(spark):
     again = sorted((r["media_id"], r["frame_no"]) for r in
                    sample_frames(media, every_n=10).collect())
     assert again == sorted((r["media_id"], r["frame_no"]) for r in frames)
+
+
+def test_dup_clusters_transitive_components(spark):
+    """a~b, b~c, 9~3 must collapse into one component labeled by its min id
+    even though (a,c) etc. were never emitted as pairs."""
+    from owl2jsonschema_js_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6), (9, 3)],
+                                  "a_id long, b_id long")
+    out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_dedup_survivors_one_per_cluster_plus_singletons(spark):
+    from owl2jsonschema_js_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(8)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "a_id long, b_id long")
+    surv = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert surv == [0, 1, 4, 5, 7]

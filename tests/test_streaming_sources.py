@@ -142,3 +142,33 @@ def test_tableio_uri_paths_require_explicit_fmt(spark):
         TableIO(spark, "s3a://bucket/transcripts_dir")._resolved_fmt()
     assert TableIO(spark, "hdfs://nn/logs/x.jsonl")._resolved_fmt() == "json"
     assert TableIO(spark, "s3a://bucket/dir", fmt="csv")._resolved_fmt() == "csv"
+
+
+def test_streaming_drift_monitor_flags_shift(spark, fixture60, tmp_path):
+    """Per-micro-batch KS/PSI vs the checkpointed baseline: a stream whose
+    texts doubled in length must flag drift; an identical stream must not."""
+    import json
+
+    from owl2jsonschema_js_spark.drift import baseline_profile
+    from owl2jsonschema_js_spark.order import turn_gaps
+    from owl2jsonschema_js_spark.streaming.validate_stream import drift_monitor
+
+    df = fixture60.to_spark(spark)
+    base = baseline_profile(df, turn_gaps(df))
+
+    clean_src = str(tmp_path / "clean_src")
+    drift_src = str(tmp_path / "drift_src")
+    df.write.parquet(clean_src)
+    df.withColumn("text", F.concat_ws(" ", "text", "text", "text")) \
+        .write.parquet(drift_src)
+
+    for name, src, expect in (("clean", clean_src, False),
+                              ("drift", drift_src, True)):
+        out = str(tmp_path / f"{name}.jsonl")
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = drift_monitor(base, out, str(tmp_path / f"ckpt_{name}")) \
+            (stream).start()
+        q.awaitTermination(120)
+        reports = [json.loads(ln) for ln in open(out)]
+        assert reports, name
+        assert any(r["drifted"] for r in reports) == expect, (name, reports)
