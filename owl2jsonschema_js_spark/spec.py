@@ -132,12 +132,18 @@ class ConstraintSpec:
     def _external_refs(doc: dict[str, Any]) -> list[str]:
         """External `$ref`s in the doc-level allOf — the reference's subclass
         inheritance emission `allOf:[{$ref:'<Supertype>'+suffix}]`
-        (lib/index.js:896-898)."""
+        (lib/index.js:896-898) — plus `x-equivalent` ids (J5: the reference
+        captures owl:equivalentClass/equivalentProperty into `equivalents[]`
+        and merges anonymous-restriction constraints, lib/index.js:568-586;
+        equivalence means identical class extension, so the equivalent's rule
+        set unions in exactly like an ancestor's)."""
         out = []
         for s in doc.get("allOf", ()) or ():
             if (isinstance(s, dict) and isinstance(s.get("$ref"), str)
                     and not s["$ref"].startswith("#")):
                 out.append(s["$ref"])
+        out += [r for r in (doc.get("x-equivalent", ()) or ())
+                if isinstance(r, str)]
         return out
 
     @classmethod

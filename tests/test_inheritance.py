@@ -242,3 +242,45 @@ def test_cli_constraints_directory_merges_ancestors(spark, tmp_path, capsys):
     assert rules.get("role.enum") == 1
     assert rules.get("text.length") == 1
     assert rules.get("value.combinator") == 1
+
+
+# -------------------------------------------------- J5 equivalence resolution
+def test_equivalent_class_unions_rule_sets():
+    """owl:equivalentClass (J5): equivalence = identical class extension, so
+    the equivalent doc's rules union in exactly like an ancestor's."""
+    docs = {
+        "Person.json": {"id": "Person.json", "type": "object",
+                        "x-equivalent": ["Human.json"],
+                        "properties": {"role": {"enum": ["user"]}}},
+        "Human.json": {"id": "Human.json", "type": "object",
+                       "required": ["text"],
+                       "properties": {"value": {"minimum": 0}}},
+    }
+    spec = ConstraintSpec.merge_ancestors("Person.json", docs)
+    assert spec.doc["x-ancestors"] == ["Human.json"]
+    assert spec.required == ("text",)
+    assert set(spec.properties) == {"role", "value"}
+
+
+def test_mixed_inline_and_external_allof_entries(spark):
+    """allOf mixing an external $ref (consumed by the walk) with an inline
+    subschema (kept as a doc-level combinator) must compile both."""
+    docs = {
+        "Base.json": {"id": "Base.json", "type": "object",
+                      "properties": {"value": {"minimum": 0}}},
+        "Child.json": {"id": "Child.json", "type": "object",
+                       "allOf": [{"$ref": "Base.json"},
+                                 {"properties": {"role": {"enum": ["user"]}}}],
+                       "properties": {}},
+    }
+    spec = ConstraintSpec.merge_ancestors("Child.json", docs)
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = compile_spec(spec, df.schema)
+    rule_ids = sorted(r.rule_id for r in plan.row_rules)
+    assert rule_ids == ["$.allOf", "value.range"]
+    ok_all = F.lit(True)
+    for r in plan.row_rules:
+        ok_all = ok_all & r.ok
+    got = [bool(r[0]) for r in df.select(ok_all).collect()]
+    # rows: valid, narrator(enum fail), 'x'(ok here), 150(ok: no max), -3(min fail), None role(enum vacuous ok), None text ok
+    assert got == [True, False, True, True, False, True, True]
