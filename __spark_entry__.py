@@ -817,15 +817,23 @@ def q_text_fingerprints(spark, sf_dir):
 
 
 def q_transcripts_validate(spark, sf_dir):
-    """Flagship: full constraint suite over Spark-generated transcripts
-    (generator scales by construction; not SQL-expressible as one query)."""
+    """Flagship, oracle-graded: the FULL engine path (compile -> fused row
+    rules -> cardinality/contiguity/uniqueness/referential -> per-partition
+    verdict aggregation) over Spark-generated transcripts. The generator's
+    `lcg` hash lane makes the injected violation counts pure modular
+    arithmetic over the row id, and the partition column is conv%16 — so an
+    independent SQL engine reproduces every (part, rule, count) verdict row
+    without reimplementing Spark hashing."""
     from owl2jsonschema_js_spark.compile import compile_spec
     from owl2jsonschema_js_spark.datagen import gen_transcripts_spark, tool_catalog_spark
     from owl2jsonschema_js_spark.docs import transcript_constraints
     from owl2jsonschema_js_spark.runner import ValidationRunner
     from owl2jsonschema_js_spark.spec import ConstraintSpec
 
-    df = gen_transcripts_spark(spark, n_rows=50_000, n_convs=1_000)
+    df = gen_transcripts_spark(spark, n_rows=50_000, n_convs=1_000,
+                               hash_mode="lcg")
+    df = df.withColumn(
+        "part", F.pmod(F.substring("conv_id", 6, 8).cast("int"), F.lit(16)))
     plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
     res = ValidationRunner(plan, n_parts=16).run(df, catalog=tool_catalog_spark(spark))
     return res.verdicts
@@ -939,9 +947,12 @@ def q_dedup_survivors(spark, sf_dir):
 
 
 def q_resume_manifest(spark, sf_dir):
-    """Checkpoint/resume through the public API: run validation with an
-    injected failure after 2 partitions, resume, and return the final
-    manifest (proves per-partition lineage + idempotent convergence)."""
+    """Checkpoint/resume through the public API, oracle-graded: run validation
+    with an injected failure after 2 partitions, resume, and return the final
+    manifest rows (per-partition lineage + idempotent convergence). The `lcg`
+    generator lane + conv%8 partition column make every manifest row —
+    per-partition row counts AND pass flags — pure arithmetic a SQL oracle
+    reproduces independently."""
     import tempfile
 
     from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
@@ -950,7 +961,10 @@ def q_resume_manifest(spark, sf_dir):
     from owl2jsonschema_js_spark.docs import transcript_constraints
     from owl2jsonschema_js_spark.spec import ConstraintSpec
 
-    df = gen_transcripts_spark(spark, n_rows=20_000, n_convs=400)
+    df = gen_transcripts_spark(spark, n_rows=20_000, n_convs=400,
+                               hash_mode="lcg")
+    df = df.withColumn(
+        "part", F.pmod(F.substring("conv_id", 6, 8).cast("int"), F.lit(8)))
     plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
     mpath = tempfile.mkdtemp(prefix="resume_manifest_") + "/manifest.json"
     cat = tool_catalog_spark(spark)
@@ -1066,10 +1080,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from owl2jsonschema_js_spark.datagen import LCG_MOD, LCG_MUL, lcg_offset
     from owl2jsonschema_js_spark.operators.textstats import LANG_PROFILES
     from owl2jsonschema_js_spark.xsd_facets import FORMAT_PATTERNS
 
     ok_list = ", ".join(f"'{t}'" for t in EVENT_TYPES_OK)
+    off_vrole = lcg_offset("v_role", 42)
+    off_vtext = lcg_offset("v_text", 42)
+    off_vtool = lcg_offset("v_tool", 42)
     date_pat = FORMAT_PATTERNS["date"].replace("'", "''")
     lang_arms = "\n              UNION ALL ".join(
         "SELECT doc_id, '{lang}' AS lang, len(list_intersect(toks, [{words}])) AS sc FROM t"
@@ -1240,6 +1258,71 @@ def oracle_sql() -> dict[str, str]:
             FROM expl GROUP BY vec_id
             ORDER BY sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) DESC, vec_id
             LIMIT 5
+        """,
+        "resume_manifest": f"""
+            -- mirror of gen_transcripts_spark(n_rows=20000, n_convs=400,
+            -- hot_frac=0.3, seed=42, hash_mode='lcg'), part = conv % 8;
+            -- pass iff the partition has zero injected violations
+            WITH p AS (
+              SELECT r.range AS rid,
+                     CASE WHEN r.range < 6000 THEN 0
+                          ELSE (r.range - 6000) % 399 + 1 END AS conv,
+                     CASE WHEN r.range < 6000 THEN r.range
+                          ELSE (r.range - 6000) // 399 END AS turn
+              FROM range(20000) r),
+            h AS (
+              SELECT conv % 8 AS part, turn % 4 AS r4,
+                     ((rid * {LCG_MUL} + {off_vrole}) % {LCG_MOD}) % 1000 AS hr,
+                     ((rid * {LCG_MUL} + {off_vtext}) % {LCG_MOD}) % 1000 AS ht,
+                     ((rid * {LCG_MUL} + {off_vtool}) % {LCG_MOD}) % 1000 AS hl
+              FROM p),
+            agg AS (
+              SELECT part, count(*) AS n_rows,
+                     sum(CASE WHEN hr < 2 THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN ht < 2 THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN r4 = 3 AND hr >= 2 AND hl < 20
+                         THEN 1 ELSE 0 END) AS n_viol
+              FROM h GROUP BY part)
+            SELECT CAST(part AS VARCHAR) AS part, 'done' AS status,
+                   (n_viol = 0) AS pass, CAST(n_rows AS BIGINT) AS n_rows
+            FROM agg
+        """,
+        "transcripts_validate": f"""
+            -- mirror of gen_transcripts_spark(n_rows=50000, n_convs=1000,
+            -- hot_frac=0.3, seed=42, hash_mode='lcg') + the flagship doc's
+            -- rule set: hot conv 0 owns rids < 15000; the rest round-robin
+            -- over 999 convs; injections via MINSTD lanes.
+            WITH p AS (
+              SELECT r.range AS rid,
+                     CASE WHEN r.range < 15000 THEN 0
+                          ELSE (r.range - 15000) % 999 + 1 END AS conv,
+                     CASE WHEN r.range < 15000 THEN r.range
+                          ELSE (r.range - 15000) // 999 END AS turn
+              FROM range(50000) r),
+            h AS (
+              SELECT conv % 16 AS part, turn % 4 AS r4,
+                     ((rid * {LCG_MUL} + {off_vrole}) % {LCG_MOD}) % 1000 AS hr,
+                     ((rid * {LCG_MUL} + {off_vtext}) % {LCG_MOD}) % 1000 AS ht,
+                     ((rid * {LCG_MUL} + {off_vtool}) % {LCG_MOD}) % 1000 AS hl
+              FROM p),
+            agg AS (
+              SELECT part, count(*) AS n_rows,
+                     sum(CASE WHEN hr < 2 THEN 1 ELSE 0 END) AS n_enum,
+                     sum(CASE WHEN ht < 2 THEN 1 ELSE 0 END) AS n_req,
+                     sum(CASE WHEN r4 = 3 AND hr >= 2 AND hl < 20
+                         THEN 1 ELSE 0 END) AS n_ref
+              FROM h GROUP BY part)
+            SELECT CAST(part AS VARCHAR) AS part, CAST(n_rows AS BIGINT) AS n_rows,
+                   rule_id, CAST(n AS BIGINT) AS n_violations
+            FROM (
+              SELECT part, n_rows, 'role.enum' AS rule_id, n_enum AS n
+              FROM agg WHERE n_enum > 0
+              UNION ALL SELECT part, n_rows, 'text.required', n_req
+              FROM agg WHERE n_req > 0
+              UNION ALL SELECT part, n_rows, 'table.referential', n_ref
+              FROM agg WHERE n_ref > 0
+              UNION ALL SELECT part, n_rows, '__none__', 0 FROM agg
+            ) t
         """,
         "minhash_lsh_dups": """
             WITH d AS (

@@ -147,6 +147,16 @@ def gen_transcripts_pandas(
 
 
 # --------------------------------------------------------------------- spark
+LCG_MOD = 2147483647  # 2^31 - 1 (MINSTD modulus)
+LCG_MUL = 48271
+
+
+def lcg_offset(salt: str, seed: int) -> int:
+    """Per-salt additive constant for the SQL-reproducible hash lane."""
+    s = sum((i + 1) * ord(c) for i, c in enumerate(salt))
+    return (seed * 1_000_003 + s * 7919) % LCG_MOD
+
+
 def gen_transcripts_spark(
     spark: SparkSession,
     n_rows: int,
@@ -154,6 +164,7 @@ def gen_transcripts_spark(
     hot_frac: float = 0.30,
     seed: int = 42,
     violations_per_mille: int = 2,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Scale generator: transcripts as pure column expressions over
     ``spark.range`` — no shuffle, no driver data, embarrassingly parallel.
@@ -162,14 +173,29 @@ def gen_transcripts_spark(
     conversation); the rest round-robin over conversations 1..n_convs-1 with
     contiguous turn_idx, so group constraints hold by construction. Violations
     are then injected by deterministic hash conditions at ~violations_per_mille.
-    """
+
+    ``hash_mode``: 'xxhash' (default) draws injection decisions from
+    xxhash64; 'lcg' uses a MINSTD linear-congruential lane
+    (``(rid*48271 + offset) % (2^31-1) % 1000``, plain 64-bit-safe integer
+    arithmetic) so an independent SQL engine can reproduce the injected
+    violation COUNTS exactly — the oracle lane for grading the full
+    validation path. Word selection inside text stays on xxhash64 either way
+    (content is never count-relevant)."""
     hot = int(n_rows * hot_frac)
     rest = n_convs - 1
     df = spark.range(n_rows).withColumnRenamed("id", "rid")
     is_hot = F.col("rid") < hot
     conv_num = F.when(is_hot, F.lit(0)).otherwise((F.col("rid") - hot) % rest + 1)
     turn = F.when(is_hot, F.col("rid")).otherwise(F.floor((F.col("rid") - hot) / rest))
-    h = lambda salt: F.pmod(F.xxhash64(F.col("rid"), F.lit(seed), F.lit(salt)), F.lit(1000))
+    if hash_mode == "lcg":
+        h = lambda salt: F.pmod(
+            F.pmod(F.col("rid") * F.lit(LCG_MUL) + F.lit(lcg_offset(salt, seed)),
+                   F.lit(LCG_MOD)),
+            F.lit(1000))
+    elif hash_mode == "xxhash":
+        h = lambda salt: F.pmod(F.xxhash64(F.col("rid"), F.lit(seed), F.lit(salt)), F.lit(1000))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
     role = F.element_at(F.array(*[F.lit(r) for r in ROLES]), (turn % 4 + 1).cast("int"))
     words = F.array(*[F.lit(w) for w in _WORDS])
