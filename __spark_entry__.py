@@ -806,8 +806,11 @@ def q_streaming_contiguity(spark, sf_dir):
 
 # ------------------------------------------------------ rows-only (no SQL oracle)
 def q_text_fingerprints(spark, sf_dir):
-    """Winnowing document fingerprints (rolling hash + window min) — the
-    rolling hash is not SQL-expressible; rows-only check on (doc, n_fp)."""
+    """Winnowing document fingerprints (Schleimer et al.: rolling polynomial
+    k-gram hash + sliding-window min + distinct), oracle-graded: the hash is
+    mod-(2^31-1) integer arithmetic, so a SQL oracle recomputes every hash,
+    window minimum and distinct count independently (all-ASCII corpus makes
+    char and byte k-grams identical)."""
     from owl2jsonschema_js_spark.operators.textstats import winnow_fingerprints
 
     fp = winnow_fingerprints(_t(spark, sf_dir, "documents"))
@@ -1088,6 +1091,12 @@ def oracle_sql() -> dict[str, str]:
     off_vrole = lcg_offset("v_role", 42)
     off_vtext = lcg_offset("v_text", 42)
     off_vtool = lcg_offset("v_tool", 42)
+    # winnowing k-gram weights: byte j of the window multiplies 131^(k-1-j)
+    # mod 2^31-1 (textstats.winnow_fingerprints defaults k=8, window=4)
+    winnow_hash = " + ".join(
+        f"CAST(ascii(substr(text, i + {j + 1}, 1)) AS BIGINT)"
+        f" * {pow(131, 7 - j, 2147483647)}"
+        for j in range(8))
     date_pat = FORMAT_PATTERNS["date"].replace("'", "''")
     lang_arms = "\n              UNION ALL ".join(
         "SELECT doc_id, '{lang}' AS lang, len(list_intersect(toks, [{words}])) AS sc FROM t"
@@ -1258,6 +1267,30 @@ def oracle_sql() -> dict[str, str]:
             FROM expl GROUP BY vec_id
             ORDER BY sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) DESC, vec_id
             LIMIT 5
+        """,
+        "text_fingerprints": f"""
+            WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+            g0 AS (
+              SELECT doc_id, text, L - 7 AS npos,
+                     CAST(unnest(range(L - 7)) AS INT) AS i
+              FROM d WHERE L >= 8),
+            g AS (
+              SELECT doc_id, i, npos,
+                     ({winnow_hash}) % 2147483647 AS h
+              FROM g0),
+            m AS (
+              SELECT doc_id, npos, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+              FROM g),
+            c AS (
+              SELECT doc_id, max(npos) AS npos,
+                     count(DISTINCT CASE WHEN i + 4 <= npos THEN wm END) AS nfp
+              FROM m GROUP BY doc_id)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(CASE WHEN c.npos >= 4 THEN c.nfp ELSE 1 END, 0)
+                        AS BIGINT) AS n_fingerprints
+            FROM d LEFT JOIN c ON d.doc_id = c.doc_id
         """,
         "resume_manifest": f"""
             -- mirror of gen_transcripts_spark(n_rows=20000, n_convs=400,
