@@ -858,9 +858,18 @@ def q_minhash_lsh_dups(spark, sf_dir):
 
 
 def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs, oracle-graded: the graded lane uses the 62-bit
+    polynomial token hash (plain mod-31-bit-prime arithmetic), so the SQL
+    oracle recomputes every token hash, bit-lane sum, band bucket (incl. the
+    max_bucket quadratic guard) and Hamming distance independently. The
+    default xxhash lane stays the intrinsic hot path."""
     from owl2jsonschema_js_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8,
+                          token_hash="poly")
+    return pairs.select(F.col("a_id").cast("bigint").alias("a_id"),
+                        F.col("b_id").cast("bigint").alias("b_id"),
+                        F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def q_ann_lsh_pairs(spark, sf_dir):
@@ -1097,6 +1106,12 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(ascii(substr(text, i + {j + 1}, 1)) AS BIGINT)"
         f" * {pow(131, 7 - j, 2147483647)}"
         for j in range(8))
+    # simhash poly-hash power tables (dedup.poly_token_hash: bases 131/137,
+    # 31-bit prime moduli; tokens on this corpus are <= 8 chars, table of 16)
+    from owl2jsonschema_js_spark.operators.dedup import (POLY_B1, POLY_B2,
+                                                         POLY_M1, POLY_M2)
+    pw1 = ",".join(str(pow(POLY_B1, j, POLY_M1)) for j in range(16))
+    pw2 = ",".join(str(pow(POLY_B2, j, POLY_M2)) for j in range(16))
     date_pat = FORMAT_PATTERNS["date"].replace("'", "''")
     lang_arms = "\n              UNION ALL ".join(
         "SELECT doc_id, '{lang}' AS lang, len(list_intersect(toks, [{words}])) AS sc FROM t"
@@ -1267,6 +1282,47 @@ def oracle_sql() -> dict[str, str]:
             FROM expl GROUP BY vec_id
             ORDER BY sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) DESC, vec_id
             LIMIT 5
+        """,
+        "simhash_dups": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+              FROM documents WHERE text IS NOT NULL),
+            chars AS (
+              SELECT doc_id, tok, CAST(unnest(range(length(tok))) AS INT) AS k
+              FROM toks),
+            h AS (
+              SELECT doc_id, tok,
+                     sum(CAST(ascii(substr(tok, k+1, 1)) AS BIGINT)
+                         * ([{pw1}])[length(tok)-k]) % {POLY_M1} AS h1,
+                     sum(CAST(ascii(substr(tok, k+1, 1)) AS BIGINT)
+                         * ([{pw2}])[length(tok)-k]) % {POLY_M2} AS h2
+              FROM chars GROUP BY doc_id, tok),
+            hh AS (SELECT doc_id, h1 * 2147483648 + h2 AS h64 FROM h),
+            bits AS (SELECT doc_id, h64, CAST(unnest(range(62)) AS INT) AS b FROM hh),
+            sums AS (SELECT doc_id, b,
+                            sum(CASE WHEN (h64 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM bits GROUP BY 1, 2),
+            code AS (SELECT doc_id,
+                            sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                                ELSE 0 END) AS sim
+                     FROM sums GROUP BY doc_id),
+            bk AS (SELECT doc_id, sim, CAST(unnest(range(4)) AS INT) AS band_no
+                   FROM code),
+            bk2 AS (SELECT doc_id, sim, band_no,
+                           (sim >> (16 * band_no)) & 65535 AS bucket FROM bk),
+            ok_bk AS (SELECT band_no, bucket FROM bk2
+                      GROUP BY 1, 2 HAVING count(*) <= 256),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                     a.sim AS sa, b.sim AS sb
+              FROM bk2 a
+              JOIN ok_bk o ON a.band_no = o.band_no AND a.bucket = o.bucket
+              JOIN bk2 b ON b.band_no = a.band_no AND b.bucket = a.bucket
+                        AND a.doc_id < b.doc_id)
+            SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                   CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 8
         """,
         "text_fingerprints": f"""
             WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),

@@ -258,12 +258,44 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
     return docs.join(losers, id_col, "left_anti")
 
 
-def simhash_col(text_col: str = "text", bits: int = 64):
+POLY_M1, POLY_M2 = 2147483647, 2147483629  # two 31-bit primes
+POLY_B1, POLY_B2 = 131, 137
+
+
+def poly_token_hash(t):
+    """62-bit SQL-reproducible token hash: two independent 31-bit polynomial
+    hashes ((acc*base + char) mod prime, bases 131/137) packed as
+    h1 * 2^31 + h2. Every step is plain int64 arithmetic, so an external SQL
+    oracle recomputes it exactly — the property xxhash64 lacks. Interpreted
+    (aggregate-over-chars) rather than an intrinsic: the oracle lane, not the
+    default hot path."""
+    def fold(base, mod):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+            F.lit(0).cast("long"),
+            lambda acc, i: F.pmod(
+                acc * base + F.coalesce(F.ascii(F.substring(t, i, F.lit(1))),
+                                        F.lit(0)),
+                F.lit(mod)))
+    return fold(POLY_B1, POLY_M1) * F.lit(2147483648) + fold(POLY_B2, POLY_M2)
+
+
+def simhash_col(text_col: str = "text", bits: int = 64,
+                token_hash: str = "xxhash"):
     """64-bit SimHash as a single JVM expression: sum over distinct tokens of
-    (+1/-1) per bit of xxhash64(token), then sign -> bit. aggregate() keeps it
-    inside codegen — no shuffle, no Python."""
+    (+1/-1) per bit of hash(token), then sign -> bit. aggregate() keeps it
+    inside codegen — no shuffle, no Python.
+
+    ``token_hash``: 'xxhash' (default, intrinsic) or 'poly' (62-bit
+    SQL-reproducible polynomial hash — the oracle-graded lane; bits 62-63 are
+    then structurally zero on both sides)."""
     toks = tokens_col(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if token_hash == "poly":
+        hashes = F.transform(toks, poly_token_hash)
+    elif token_hash == "xxhash":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     # ONE aggregate pass with an array<long> accumulator (bits separate
     # aggregates would re-walk the token array `bits` times — measured 13.8s
     # vs ~1s on 5k docs): per token, add ±1 to every bit lane via an indexed
@@ -298,6 +330,7 @@ def hamming64(a, b):
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 6, max_bucket: int = 256,
     id_col: str = "doc_id", text_col: str = "text",
+    token_hash: str = "xxhash",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
     (any pair within Hamming<=3 of a band is guaranteed caught; wider distances
@@ -306,8 +339,9 @@ def simhash_pairs(
     rationale as minhash_lsh_pairs)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     # persist: the interpreted simhash aggregate feeds both self-join sides
-    sh = docs.repartition(par).select(F.col(id_col).alias("id"),
-                                      simhash_col(text_col).alias("sim")).persist()
+    sh = docs.repartition(par).select(
+        F.col(id_col).alias("id"),
+        simhash_col(text_col, token_hash=token_hash).alias("sim")).persist()
     bands = sh.select(
         "id", "sim",
         F.explode(F.array(*[
