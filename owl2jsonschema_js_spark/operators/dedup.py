@@ -212,33 +212,55 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
 
     The step every dedup pipeline needs after pair generation: pairs are not
     deletable units — transitive groups are (a~b, b~c must collapse to ONE
-    survivor even when (a,c) was never emitted). Iterative min-label
-    propagation: each round every node adopts the min label among itself and
-    its neighbors; converges in O(component diameter) rounds. Each round is
-    one key-width join + one groupBy over the EDGE list (never the docs
-    table), and near-dup components are small by construction (pairs come out
-    of bounded LSH buckets), so diameter is tiny; ``max_iter`` bounds
-    pathological chains. Convergence is checked with a count per round — the
-    standard action-per-iteration shape of distributed iterative algorithms.
-    Only ids that appear in some pair are returned (singletons are their own
-    survivors by definition)."""
+    survivor even when (a,c) was never emitted). Each round does min-label
+    propagation (every node adopts the min label among itself and its
+    neighbors — one key-width join + groupBy over the EDGE list, never the
+    docs table) followed by a POINTER JUMP (every node adopts its label's
+    label), so a chain of diameter D converges in O(log D) rounds instead of
+    O(D) — the distinction that matters when boilerplate text links long
+    near-dup chains at corpus scale. Labels are ``localCheckpoint``ed every
+    few rounds: iterative self-joins otherwise grow the logical plan
+    per-round until analysis itself becomes the bottleneck (the classic
+    Spark iterative-algorithm pitfall; persist caches data but does not
+    truncate lineage). Convergence is checked with a count per round — the
+    standard action-per-iteration shape. Only ids that appear in some pair
+    are returned (singletons are their own survivors by definition)."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
              .distinct().persist())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = (edges.join(labels.withColumnsRenamed({"id": "dst", "label": "nb"}),
                            "dst")
                 .groupBy("src").agg(F.min("nb").alias("nb")))
-        new = (labels.join(prop.withColumnRenamed("src", "id"), "id", "left")
-               .select("id", F.least(F.col("label"),
-                                     F.coalesce(F.col("nb"), F.col("label")))
+        stepped = (labels.join(prop.withColumnRenamed("src", "id"), "id", "left")
+                   .select("id", F.least(F.col("label"),
+                                         F.coalesce(F.col("nb"), F.col("label")))
+                           .alias("label")))
+        # pointer jump through the PREVIOUS round's labels (path compression
+        # with a stale parent table): jumping through `stepped` itself would
+        # reference it twice and DOUBLE the logical plan every round —
+        # exponential analysis cost that caching does not truncate; the
+        # stale-parent jump keeps plan growth linear and still collapses
+        # chains in O(log D) rounds (label[x] <= x is invariant, so the jump
+        # target is always a valid, tighter component bound)
+        parent = labels.select(F.col("label").alias("plabel"),
+                               F.col("id").alias("label"))
+        new = (stepped.join(parent, "label", "left")
+               .select("id", F.least(F.coalesce(F.col("plabel"), F.col("label")),
+                                     F.col("label"))
                        .alias("label")).persist())
         changed = (new.withColumnRenamed("label", "nl").join(labels, "id")
                    .where(F.col("nl") != F.col("label")).count())
         labels.unpersist()
+        if (it + 1) % 4 == 0:
+            # truncate the (linearly growing) lineage; runs AFTER the count
+            # materialized the cache so the checkpoint reads cached rows
+            cp = new.localCheckpoint(eager=True)
+            new.unpersist()
+            new = cp
         labels = new
         if changed == 0:
             break

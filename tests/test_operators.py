@@ -234,3 +234,16 @@ def test_dedup_survivors_one_per_cluster_plus_singletons(spark):
                                   "a_id long, b_id long")
     surv = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
     assert surv == [0, 1, 4, 5, 7]
+
+
+def test_dup_clusters_long_chain_converges_via_pointer_jumping(spark):
+    """A 40-node path graph needs 39 plain propagation rounds (past
+    max_iter=20); the pointer-jump step must collapse it in O(log D) rounds,
+    with localCheckpoint truncating the iterative lineage along the way."""
+    from owl2jsonschema_js_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(39)],
+                                  "a_id long, b_id long")
+    out = dup_clusters(pairs, max_iter=20).collect()
+    assert len(out) == 40
+    assert {r["cluster_id"] for r in out} == {0}

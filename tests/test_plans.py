@@ -134,3 +134,28 @@ def test_corpus_profile_fuses_into_one_codegen_stage(spark):
     p = corpus_profile(docs)
     assert codegen_stage_count(p) == 1
     assert set(read_schema_columns(p)) == {"doc_id", "text"}
+
+
+def test_delta_plan_scan_prunes_to_delta_columns(spark, fixture60, tmp_path):
+    """Constraint-evolution delta runs must read only the delta rules'
+    columns (+ the partition key), never full row width — the property that
+    turns a one-keyword schema edit into a fraction-of-table scan at 100 TB."""
+    from owl2jsonschema_js_spark.evolve import delta_plan
+
+    p = str(tmp_path / "t")
+    fixture60.to_spark(spark).write.parquet(p)
+    df = spark.read.parquet(p)
+    v1 = {"id": "T.json", "type": "object",
+          "properties": {"role": {"enum": ["user", "assistant", "system", "tool"]}}}
+    v2 = {"id": "T.json", "type": "object",
+          "properties": {"role": {"enum": ["user", "assistant", "system", "tool"]},
+                         "turn_idx": {"minimum": 1}}}
+    p1 = compile_spec(ConstraintSpec.parse(v1), df.schema)
+    p2 = compile_spec(ConstraintSpec.parse(v2), df.schema)
+    sub, d = delta_plan(p1, p2)
+    assert [r.rule_id for r in sub.row_rules] == ["turn_idx.range"]
+    from owl2jsonschema_js_spark.plans import read_schema_columns
+    res = ValidationRunner(sub, n_parts=4).run(df)
+    cols = set(read_schema_columns(res.verdicts))
+    assert "text" not in cols and "tool" not in cols and "ts" not in cols
+    assert "turn_idx" in cols
