@@ -945,6 +945,22 @@ def q_multimodal_frames(spark, sf_dir):
                          F.col("frame_no").cast("bigint").alias("frame_no"))
 
 
+def q_ann_batch_top3(spark, sf_dir):
+    """Batched IVF ANN serving shape: 8 query vectors answered in ONE table
+    scan (per-list probe masks + one GEMM per Arrow batch), per-query top-3
+    via rank window."""
+    from owl2jsonschema_js_spark.operators.similarity import ivf_topk_batch
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvecs = [[float(x) for x in r["embedding"]] for r in
+             emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    out = ivf_topk_batch(emb, qvecs, k=3, n_centroids=16, nprobe=16)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.round("score", 6).alias("score"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Full dedup pipeline shape: minhash-LSH pairs -> connected components
     (iterative min-label propagation) -> drop every non-representative
@@ -1088,6 +1104,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q14": q_tpch_q14,
         "dedup_survivors": q_dedup_survivors,
+        "ann_batch_top3": q_ann_batch_top3,
     }
 
 

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "simhash_dups",
     "ann_top5",
+    "ann_batch_top3",
     "ann_lsh_pairs",
     "text_quality",
     "corpus_profile",

@@ -136,3 +136,40 @@ def test_ivf_kmeans_recall_on_clustered_data(spark):
                        exclude_id=0, train_iters=2).collect()]
     recall = len(set(exact) & set(approx)) / 5
     assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_ivf_topk_batch_allprobe_equals_per_query_brute(spark):
+    """With nprobe == n_centroids the batched path is exact: every query's
+    top-5 must equal its brute-force top-5, computed in ONE table scan."""
+    from owl2jsonschema_js_spark.operators.similarity import (ivf_topk_batch,
+                                                              topk_neighbors)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    qrows = emb.where(F.col("vec_id").isin(0, 1, 2)).orderBy("vec_id").collect()
+    qvecs = [[float(x) for x in r["embedding"]] for r in qrows]
+    out = ivf_topk_batch(emb, qvecs, k=5, n_centroids=8, nprobe=8)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for j, qv in enumerate(qvecs):
+        brute = [r["vec_id"] for r in
+                 topk_neighbors(emb, qv, k=5, metric="dot").collect()]
+        mine = [v for _, v in sorted(got[j])]
+        assert mine == brute, (j, mine, brute)
+
+
+def test_ivf_topk_batch_pruned_probes_bound_candidates(spark):
+    """With nprobe < n_centroids the candidate set must shrink accordingly
+    (the scan-cost property), while still returning k rows per query."""
+    from owl2jsonschema_js_spark.operators.similarity import ivf_topk_batch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    qvecs = [[float(x) for x in r["embedding"]] for r in
+             emb.where(F.col("vec_id").isin(0, 5)).orderBy("vec_id").collect()]
+    out = ivf_topk_batch(emb, qvecs, k=3, n_centroids=16, nprobe=4)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    assert len(rows) == 6
