@@ -92,22 +92,31 @@ def run_flagship(spark: SparkSession, n_turns: int) -> float:
     from owl2jsonschema_js_spark.runner import ValidationRunner
     from owl2jsonschema_js_spark.spec import ConstraintSpec
 
-    path = tempfile.mkdtemp(prefix="bench_transcripts_") + "/t.parquet"
-    gen_transcripts_spark(spark, n_rows=n_turns, n_convs=max(1000, n_turns // 200)) \
-        .write.mode("overwrite").parquet(path)
-    df = spark.read.parquet(path)
-    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
-    runner = ValidationRunner(plan, n_parts=64)
-    # best-of-2: the first run pays scan-cache + codegen warmup that a
-    # steady-state 10^12-row job amortizes away; generation + write-out above
-    # are outside the timed region (the metric is validation of a STORED table)
-    times = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        res = runner.run(df, catalog=tool_catalog_spark(spark))
-        _force(res.verdicts)
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="bench_transcripts_")
+    try:
+        path = tmp + "/t.parquet"
+        gen_transcripts_spark(spark, n_rows=n_turns, n_convs=max(1000, n_turns // 200)) \
+            .write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+        runner = ValidationRunner(plan, n_parts=64)
+        # best-of-2: the first run pays scan-cache + codegen warmup that a
+        # steady-state 10^12-row job amortizes away; generation + write-out
+        # above are outside the timed region (the metric is validation of a
+        # STORED table)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = runner.run(df, catalog=tool_catalog_spark(spark))
+            _force(res.verdicts)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+    finally:
+        # ~350 MB of generated parquet per 8M-turn run; repeated bench/scaling
+        # invocations must not accumulate it in /tmp
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:

@@ -63,13 +63,22 @@ def main(argv: list[str] | None = None) -> int:
     if os.path.isdir(args.constraints):
         if not args.root:
             ap.error("--constraints is a directory: pass --root <Class>.json")
-        docs = {}
+        docs: dict[str, dict] = {}
         for name in sorted(os.listdir(args.constraints)):
-            if name.endswith(".json"):
-                with open(os.path.join(args.constraints, name)) as f:
-                    doc = json.load(f)
-                docs[doc.get("id", name)] = doc
-                docs.setdefault(name, doc)
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(args.constraints, name)) as f:
+                doc = json.load(f)
+            if not isinstance(doc, dict):
+                ap.error(f"{name}: constraint doc must be a JSON object, "
+                         f"got {type(doc).__name__}")
+            for key in {doc.get("id", name), name}:
+                if key in docs and docs[key] is not doc \
+                        and docs[key] != doc:
+                    ap.error(f"schema id/name collision on {key!r} "
+                             f"(while loading {name}) — ids must be unique "
+                             "across the constraints directory")
+                docs[key] = doc
         spec = ConstraintSpec.merge_ancestors(args.root, docs)
     else:
         with open(args.constraints) as f:

@@ -193,9 +193,22 @@ def parquet_snapshot_id(path: str) -> str:
     """Stand-in snapshot id for plain-parquet fixtures (no Iceberg runtime jar
     in this sandbox — SURVEY.md §7 milestone-0 note): content hash of the file
     listing (name, size, mtime). With Iceberg available, use the table's real
-    snapshot-id (spark.read.option('snapshot-id', ...)) instead."""
+    snapshot-id (spark.read.option('snapshot-id', ...)) instead.
+
+    Paths this process cannot stat (hdfs://, s3a://, ...) are REFUSED rather
+    than hashed to a constant: every remote table sharing one snapshot id
+    would make the resume skip-list match across datasets and silently skip
+    validation — pass an explicit snapshot id (or use Iceberg's) for remote
+    storage."""
     import hashlib
 
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if "://" in path:
+        raise ValueError(
+            f"cannot derive a content snapshot id for URI path {path!r} "
+            "locally — supply ResumableValidator's snapshot_id explicitly "
+            "(e.g. the Iceberg snapshot) for remote tables")
     h = hashlib.sha256()
     if os.path.isdir(path):
         for name in sorted(os.listdir(path)):

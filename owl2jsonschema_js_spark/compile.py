@@ -48,6 +48,24 @@ _MAX_REF_DEPTH = 8
 # P13: the reference's legacy-spelling skip (lib/index.js:913-916)
 _LEGACY_RE = re.compile(r"\(legacy spelling;")
 
+# the table-scope rule identifiers the runner emits — single source of truth
+# shared with RulePlan.rule_ids and evolve.merge_verdicts
+TABLE_RULE_IDS = frozenset(
+    {"table.unique", "table.cardinality", "table.referential",
+     "table.contiguity"})
+
+
+def _is_legacy(subschema: Any) -> bool:
+    """P13 description test — also looks inside allOf wrappers, because
+    merge_ancestors folds a same-key ancestor subschema (whose description
+    carries the legacy marker) into {'allOf': [...]}; the skip must behave
+    the same whether a doc is compiled standalone or post-merge."""
+    if not isinstance(subschema, dict):
+        return False
+    if _LEGACY_RE.search(str(subschema.get("description", ""))):
+        return True
+    return any(_is_legacy(s) for s in subschema.get("allOf", ()) or ())
+
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
@@ -308,11 +326,11 @@ def compile_spec(spec: ConstraintSpec, df_schema: T.StructType) -> RulePlan:
     for key, subschema in spec.properties.items():
         # P13 — schema.org ignore-filter: skip the property entirely when its
         # key is on the skip-list or its description carries the legacy-
-        # spelling marker (lib/index.js:913-916 + lib/ignore-properties.json).
+        # spelling marker (lib/index.js:913-916 + lib/ignore-properties.json),
+        # including a marker folded into an allOf wrapper by merge_ancestors.
         # Compile-time set lookup here; at scale, were properties rows instead
         # of spec entries, this is a broadcast isin + rlike anti-filter.
-        if key in spec.ignore_properties or _LEGACY_RE.search(
-                str(subschema.get("description", "")) if isinstance(subschema, dict) else ""):
+        if key in spec.ignore_properties or _is_legacy(subschema):
             plan.ignored.append(key)
             continue
         if key not in fields:

@@ -21,14 +21,23 @@ can never drift from what the compiler actually does.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
-from owl2jsonschema_js_spark.compile import RulePlan
+from owl2jsonschema_js_spark.compile import TABLE_RULE_IDS, RulePlan
 from owl2jsonschema_js_spark.spec import TableConstraints
+
+# PySpark mints a fresh lambda-variable id per compile (x_1, x_2, ...) inside
+# higher-order functions, so the raw repr of an exists/forall rule differs
+# between two compiles of the SAME doc. compile.py names every HOF lambda
+# parameter `x` (and only `x`), so normalizing exactly `x_<digits>` restores
+# a stable signature without touching real column names.
+_LAMBDA_VAR = re.compile(r"\bx_\d+\b")
 
 
 def _signatures(plan: RulePlan) -> dict[str, str]:
-    return {r.rule_id: repr(r.ok) for r in plan.row_rules}
+    return {r.rule_id: _LAMBDA_VAR.sub("x_#", repr(r.ok))
+            for r in plan.row_rules}
 
 
 @dataclass
@@ -82,11 +91,9 @@ def merge_verdicts(old_verdicts: dict, delta_verdicts: dict,
     snapshot: delta rules take the delta counts, removed rules drop, unchanged
     rules keep their old counts; `pass` is recomputed. Table-rule counts
     follow the same logic via diff.table_changed (delta re-ran them)."""
-    table_ids = {"table.unique", "table.cardinality", "table.referential",
-                 "table.contiguity"}
     drop = set(diff.removed) | diff.delta_rule_ids
     if diff.table_changed:
-        drop |= table_ids
+        drop |= TABLE_RULE_IDS
     out: dict = {}
     for part, ov in old_verdicts.items():
         rules = {k: v for k, v in ov.get("rules", {}).items() if k not in drop}

@@ -224,7 +224,11 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     Spark iterative-algorithm pitfall; persist caches data but does not
     truncate lineage). Convergence is checked with a count per round — the
     standard action-per-iteration shape. Only ids that appear in some pair
-    are returned (singletons are their own survivors by definition)."""
+    are returned (singletons are their own survivors by definition).
+
+    The result is returned PERSISTED and materialized — call ``.unpersist()``
+    on it when done in long-lived sessions; every loop iterate is released
+    before return."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
@@ -265,7 +269,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
         if changed == 0:
             break
     edges.unpersist()
-    return labels.withColumnRenamed("label", "cluster_id")
+    # deterministic ownership: materialize the final result as ITS OWN cached
+    # frame, release every iterate, and hand the caller a DataFrame whose
+    # .unpersist() actually frees it (an unpersist through a rename-projection
+    # would not match the cached plan). Superseded mid-loop checkpoint RDDs
+    # are tiny (one row per paired id) and reclaimed by the context cleaner.
+    final = labels.withColumnRenamed("label", "cluster_id").persist()
+    final.count()
+    labels.unpersist()
+    return final
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame,
@@ -273,7 +285,9 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
     """Keep one document per near-dup cluster (the min-id representative) and
     every unpaired document. Implemented as a left_anti join of the docs table
     against the non-representative cluster members — the docs table is never
-    shuffled on anything but its id."""
+    shuffled on anything but its id. The cluster table backing the join stays
+    cached until released; long-lived sessions should unpersist it (or
+    clearCache) after materializing the result."""
     members = dup_clusters(pairs, max_iter=max_iter)
     losers = members.where(F.col("id") != F.col("cluster_id")) \
                     .select(F.col("id").alias(id_col))

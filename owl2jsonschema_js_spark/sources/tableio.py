@@ -54,21 +54,25 @@ class TableIO:
             return "iceberg"
         import os
 
-        if "://" in self.path_or_table:
+        path = self.path_or_table
+        if path.startswith("file://"):
+            path = path[len("file://"):]  # local after all — sniff normally
+        elif "://" in path:
             # URI paths (hdfs://, s3a://, ...): extension sniffing of
             # DIRECTORY CONTENTS below is local-filesystem-only — a remote
             # json/csv directory would silently fall through to the parquet
             # default. Dispatch on the path's own extension or demand an
             # explicit fmt.
             for ext, fmt in _EXT_FORMATS.items():
-                if self.path_or_table.endswith(ext):
+                if path.endswith(ext):
                     return fmt
             raise ValueError(
                 f"cannot sniff format of URI path {self.path_or_table!r}: "
-                "directory-content sniffing is local-only — pass fmt= explicitly")
-        candidates = [self.path_or_table]
-        if os.path.isdir(self.path_or_table):
-            candidates += [n for n in sorted(os.listdir(self.path_or_table))
+                "directory-content sniffing is local-only — pass fmt='parquet' "
+                "(or the actual format) explicitly")
+        candidates = [path]
+        if os.path.isdir(path):
+            candidates += [n for n in sorted(os.listdir(path))
                            if not n.startswith(("_", "."))]
         for name in candidates:
             for ext, fmt in _EXT_FORMATS.items():

@@ -220,10 +220,17 @@ class ConstraintSpec:
             disjoint += d.get("x-disjoint") or []
             dtc = d.get("x-table-constraints") or {}
             for k, v in dtc.items():
-                if k == "minItems" and "minItems" in tc:
-                    tc[k] = max(tc[k], v, key=lambda x: x["value"])
-                elif k == "maxItems" and "maxItems" in tc:
-                    tc[k] = min(tc[k], v, key=lambda x: x["value"])
+                if k in ("minItems", "maxItems") and k in tc:
+                    # conjunction = tightest bound, but only over the SAME
+                    # group key — silently keeping one of two different-'per'
+                    # bounds would drop a constraint with no error
+                    if tc[k].get("per") != v.get("per"):
+                        raise ValueError(
+                            f"cannot merge {k} over different group keys: "
+                            f"{tc[k].get('per')!r} (ancestor) vs "
+                            f"{v.get('per')!r} ({did})")
+                    pick = max if k == "minItems" else min
+                    tc[k] = pick(tc[k], v, key=lambda x: x["value"])
                 else:
                     tc[k] = v
 

@@ -72,3 +72,17 @@ def test_parquet_snapshot_id_changes_with_content(tmp_path):
     (d / "b.parquet").write_bytes(b"yy")
     s2 = parquet_snapshot_id(str(d))
     assert s1 != s2 and len(s1) == 16
+
+
+def test_parquet_snapshot_id_refuses_remote_uris(tmp_path):
+    """A constant hash for every unstat-able remote path would make resume
+    skip-lists match across datasets — refuse instead."""
+    import pytest
+
+    from owl2jsonschema_js_spark.checkpoint import parquet_snapshot_id
+
+    with pytest.raises(ValueError, match="snapshot id"):
+        parquet_snapshot_id("s3a://bucket/transcripts")
+    p = tmp_path / "x.parquet"
+    p.write_bytes(b"123")
+    assert parquet_snapshot_id(f"file://{p}") == parquet_snapshot_id(str(p))

@@ -122,3 +122,18 @@ def test_manifest_evolve_noop_diff_copies_verdicts(spark, fixture60, tmp_path):
     for part in old:
         assert old[part]["verdict"] == new[part]["verdict"]
         assert old[part]["metrics"] == new[part]["metrics"]
+
+
+def test_diff_stable_across_recompiles_for_hof_rules(spark):
+    """exists/forall rules embed fresh lambda-variable ids per compile
+    (x_1 vs x_2); the signature normalization must keep two compiles of the
+    SAME doc a no-op diff."""
+    from pyspark.sql import types as T
+
+    doc = {"type": "object", "properties": {
+        "types": {"type": "array", "additionalItems": False,
+                  "items": {"allOf": [{"enum": ["a", "b"]}]}}}}
+    schema = T.StructType([T.StructField("types", T.ArrayType(T.StringType()))])
+    p1 = compile_spec(ConstraintSpec.parse(doc), schema)
+    p2 = compile_spec(ConstraintSpec.parse(doc), schema)
+    assert plan_diff(p1, p2).is_noop

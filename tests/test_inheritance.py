@@ -284,3 +284,36 @@ def test_mixed_inline_and_external_allof_entries(spark):
     got = [bool(r[0]) for r in df.select(ok_all).collect()]
     # rows: valid, narrator(enum fail), 'x'(ok here), 150(ok: no max), -3(min fail), None role(enum vacuous ok), None text ok
     assert got == [True, False, True, True, False, True, True]
+
+
+def test_legacy_marker_survives_allof_fold(spark):
+    """P13 must fire identically pre- and post-merge: an ancestor property
+    carrying the legacy-spelling marker stays ignored even when the child's
+    same-key subschema folds it into an allOf wrapper."""
+    docs = {
+        "Base.json": {"id": "Base.json", "type": "object", "properties": {
+            "value": {"description": "(legacy spelling; use amount)",
+                      "maximum": -1}}},
+        "Child.json": {"id": "Child.json", "type": "object",
+                       "allOf": [{"$ref": "Base.json"}],
+                       "properties": {"value": {"maximum": 300}}},
+    }
+    spec = ConstraintSpec.merge_ancestors("Child.json", docs)
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    plan = compile_spec(spec, df.schema)
+    assert plan.ignored == ["value"]
+    assert not plan.row_rules
+
+
+def test_merge_rejects_cardinality_over_different_group_keys():
+    docs = {
+        "Base.json": {"id": "Base.json", "type": "object", "properties": {},
+                      "x-table-constraints": {
+                          "minItems": {"per": "conv_id", "value": 3}}},
+        "Child.json": {"id": "Child.json", "type": "object",
+                       "allOf": [{"$ref": "Base.json"}], "properties": {},
+                       "x-table-constraints": {
+                           "minItems": {"per": "user_id", "value": 5}}},
+    }
+    with pytest.raises(ValueError, match="different group keys"):
+        ConstraintSpec.merge_ancestors("Child.json", docs)
