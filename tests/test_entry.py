@@ -68,3 +68,11 @@ def test_entry_smoke(spark):
 def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.extra_queries()))
+def test_extra_queries_run(spark, name):
+    """The bench-only surface (operators not in the capped graded registry)
+    must stay runnable; smoke at the smallest corpus."""
+    df = entry_mod.extra_queries()[name](spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0
