@@ -963,15 +963,21 @@ def q_ann_batch_top3(spark, sf_dir):
 
 def q_dedup_survivors(spark, sf_dir):
     """Full dedup pipeline shape: minhash-LSH pairs -> connected components
-    (iterative min-label propagation) -> drop every non-representative
-    cluster member. Returns (dropped_id, cluster_id), deterministic."""
+    (iterative min-label propagation + pointer jumping) -> drop every
+    non-representative cluster member. Returns (dropped_id, cluster_id),
+    deterministic; oracle = exact shingle-Jaccard pairs + a recursive-CTE
+    min-label closure. The dropped-member output (tiny) is localCheckpoint'ed
+    so the big cluster cache is released before the query returns."""
     from owl2jsonschema_js_spark.operators.dedup import dup_clusters, minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     cl = dup_clusters(minhash_lsh_pairs(docs, threshold=0.7))
-    return (cl.where(F.col("id") != F.col("cluster_id"))
-            .select(F.col("id").cast("bigint").alias("dropped_id"),
-                    F.col("cluster_id").cast("bigint").alias("cluster_id")))
+    out = (cl.where(F.col("id") != F.col("cluster_id"))
+           .select(F.col("id").cast("bigint").alias("dropped_id"),
+                   F.col("cluster_id").cast("bigint").alias("cluster_id"))
+           .localCheckpoint(eager=True))
+    cl.unpersist()
+    return out
 
 
 def q_resume_manifest(spark, sf_dir):

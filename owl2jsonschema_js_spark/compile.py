@@ -314,6 +314,16 @@ def compile_spec(spec: ConstraintSpec, df_schema: T.StructType) -> RulePlan:
     # C7: minItems>0 => required (lib/index.js:1074-1079) surfaces here as the
     # doc-level `required` list -> isNotNull rules.
     for key in spec.required:
+        # P13 also governs required: in the reference an ignored key never
+        # enters schema.properties and therefore can never be pushed into
+        # required (lib/index.js:913-916 vs 1077) — so a skip-listed or
+        # legacy-marked key in a hand-written doc's required list must not
+        # emit an isNotNull rule either. Recorded in plan.ignored like the
+        # properties loop (dedup'd — the key may hit both loops).
+        if key in spec.ignore_properties or _is_legacy(spec.properties.get(key)):
+            if key not in plan.ignored:
+                plan.ignored.append(key)
+            continue
         if key not in fields:
             plan.schema_issues.append(f"required key {key!r} missing from table schema")
             continue
@@ -331,7 +341,8 @@ def compile_spec(spec: ConstraintSpec, df_schema: T.StructType) -> RulePlan:
         # Compile-time set lookup here; at scale, were properties rows instead
         # of spec entries, this is a broadcast isin + rlike anti-filter.
         if key in spec.ignore_properties or _is_legacy(subschema):
-            plan.ignored.append(key)
+            if key not in plan.ignored:
+                plan.ignored.append(key)
             continue
         if key not in fields:
             plan.schema_issues.append(f"property {key!r} missing from table schema")

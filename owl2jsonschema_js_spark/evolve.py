@@ -29,15 +29,47 @@ from owl2jsonschema_js_spark.spec import TableConstraints
 
 # PySpark mints a fresh lambda-variable id per compile (x_1, x_2, ...) inside
 # higher-order functions, so the raw repr of an exists/forall rule differs
-# between two compiles of the SAME doc. compile.py names every HOF lambda
-# parameter `x` (and only `x`), so normalizing exactly `x_<digits>` restores
-# a stable signature without touching real column names.
-_LAMBDA_VAR = re.compile(r"\bx_\d+\b")
+# between two compiles of the SAME doc. A blanket `\bx_\d+\b` rewrite would
+# also hit genuine columns named x_1/x_2 and would conflate distinct nested
+# lambda variables — so the rewrite is ANCHORED to declaration sites: the
+# repr renders every lambda as `x_1 -> body` / `(x_3, y_4) -> body`, and only
+# names that appear in such a declaration are renumbered (positionally, in
+# first-declaration order). An undeclared `x_3` token is a real column
+# reference and keeps its identity in the signature.
+_LAMBDA_DECL = re.compile(
+    r"(?:\((\w+_\d+(?:,\s*\w+_\d+)*)\)|(\w+_\d+))\s*->")
+
+
+def _normalize_lambdas(expr: str) -> str:
+    declared: list[str] = []
+    for m in _LAMBDA_DECL.finditer(expr):
+        names = (m.group(1) or m.group(2)).replace(" ", "").split(",")
+        for n in names:
+            if n not in declared:
+                declared.append(n)
+    for i, name in enumerate(declared):
+        expr = re.sub(rf"\b{re.escape(name)}\b", f"λ{i}", expr)
+    return expr
 
 
 def _signatures(plan: RulePlan) -> dict[str, str]:
-    return {r.rule_id: _LAMBDA_VAR.sub("x_#", repr(r.ok))
-            for r in plan.row_rules}
+    # guard the one remaining ambiguity: a real column whose name collides
+    # with a freshly-minted lambda variable inside the SAME expression is
+    # indistinguishable in the repr — reject instead of mis-diffing.
+    colnames = set(plan.spec.properties) | set(plan.spec.required)
+    out: dict[str, str] = {}
+    for r in plan.row_rules:
+        expr = repr(r.ok)
+        declared = {n for m in _LAMBDA_DECL.finditer(expr)
+                    for n in (m.group(1) or m.group(2)).replace(" ", "").split(",")}
+        clash = declared & colnames
+        if clash:
+            raise ValueError(
+                f"cannot compute a stable rule signature for {r.rule_id!r}: "
+                f"column name(s) {sorted(clash)} collide with Spark lambda-"
+                "variable names (x_<n>); rename the column(s)")
+        out[r.rule_id] = _normalize_lambdas(expr)
+    return out
 
 
 @dataclass

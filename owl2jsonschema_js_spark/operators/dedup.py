@@ -206,7 +206,9 @@ def minhash_lsh_pairs(
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,
-                 a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+                 a_col: str = "a_id", b_col: str = "b_id",
+                 defer_checks: int = 1,
+                 stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id), where
     cluster_id is the component's minimum id.
 
@@ -222,20 +224,28 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     few rounds: iterative self-joins otherwise grow the logical plan
     per-round until analysis itself becomes the bottleneck (the classic
     Spark iterative-algorithm pitfall; persist caches data but does not
-    truncate lineage). Convergence is checked with a count per round — the
-    standard action-per-iteration shape. Only ids that appear in some pair
-    are returned (singletons are their own survivors by definition).
+    truncate lineage). Convergence is a changed-label count action — but NOT
+    one per round: the first ``defer_checks`` rounds skip it (a pointer-jumped
+    loop converges in >=2 rounds on any non-trivial input, so the round-0
+    check can never fire), and lazy evaluation folds the deferred rounds into
+    the first checked round's job — fewer driver round-trips, same rounds of
+    work. Only ids that appear in some pair are returned (singletons are
+    their own survivors by definition).
 
-    The result is returned PERSISTED and materialized — call ``.unpersist()``
-    on it when done in long-lived sessions; every loop iterate is released
-    before return."""
+    ``stats``, if given, records {'rounds': n} — the number of label-update
+    rounds executed (the O(log D) convergence contract is asserted on this in
+    tests). The result is returned PERSISTED and materialized — call
+    ``.unpersist()`` on it when done in long-lived sessions; every loop
+    iterate is released before return."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
              .distinct().persist())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
+    rounds = 0
     for it in range(max_iter):
+        rounds = it + 1
         prop = (edges.join(labels.withColumnsRenamed({"id": "dst", "label": "nb"}),
                            "dst")
                 .groupBy("src").agg(F.min("nb").alias("nb")))
@@ -256,8 +266,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
                .select("id", F.least(F.coalesce(F.col("plabel"), F.col("label")),
                                      F.col("label"))
                        .alias("label")).persist())
-        changed = (new.withColumnRenamed("label", "nl").join(labels, "id")
-                   .where(F.col("nl") != F.col("label")).count())
+        # convergence check deferred for the first `defer_checks` rounds: the
+        # skipped rounds stay lazy and materialize inside the first checked
+        # round's job (their persists fill as the computation flows through)
+        changed = None
+        if it >= defer_checks:
+            changed = (new.withColumnRenamed("label", "nl").join(labels, "id")
+                       .where(F.col("nl") != F.col("label")).count())
         labels.unpersist()
         if (it + 1) % 4 == 0:
             # truncate the (linearly growing) lineage; runs AFTER the count
@@ -269,6 +284,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
         if changed == 0:
             break
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     # deterministic ownership: materialize the final result as ITS OWN cached
     # frame, release every iterate, and hand the caller a DataFrame whose
     # .unpersist() actually frees it (an unpersist through a rename-projection
@@ -285,12 +302,19 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
     """Keep one document per near-dup cluster (the min-id representative) and
     every unpaired document. Implemented as a left_anti join of the docs table
     against the non-representative cluster members — the docs table is never
-    shuffled on anything but its id. The cluster table backing the join stays
-    cached until released; long-lived sessions should unpersist it (or
-    clearCache) after materializing the result."""
+    shuffled on anything but its id.
+
+    Cache ownership is internal: the loser-id set (ids only, tiny) is
+    localCheckpoint'ed — materialized with truncated lineage — so the big
+    cluster table from :func:`dup_clusters` is unpersisted HERE before
+    returning; callers get a self-contained DataFrame and nothing leaks into
+    long-lived sessions (the checkpoint RDD itself is reclaimed by the
+    ContextCleaner once the result is garbage-collected)."""
     members = dup_clusters(pairs, max_iter=max_iter)
-    losers = members.where(F.col("id") != F.col("cluster_id")) \
-                    .select(F.col("id").alias(id_col))
+    losers = (members.where(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias(id_col))
+              .localCheckpoint(eager=True))
+    members.unpersist()
     return docs.join(losers, id_col, "left_anti")
 
 

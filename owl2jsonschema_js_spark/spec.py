@@ -208,7 +208,18 @@ class ConstraintSpec:
                     required.append(k)
             for k, sub in (d.get("properties") or {}).items():
                 props.setdefault(k, []).append(sub)
-            definitions.update(d.get("definitions") or {})
+            for name, body in (d.get("definitions") or {}).items():
+                # dict.update here would silently rebind an ancestor's
+                # #/definitions/<name> $refs to the child's version — the
+                # merged doc would no longer validate like jsonschema with a
+                # per-document ref store. Identical bodies fold; conflicts
+                # raise (mirroring the cardinality-group conflict below).
+                if name in definitions and definitions[name] != body:
+                    raise ValueError(
+                        f"conflicting definition {name!r} across the "
+                        f"inheritance chain: {did} redefines it with a "
+                        "different body (namespace your definitions per doc)")
+                definitions[name] = body
             ext = set(cls._external_refs(d))
             inline_combs += [s for s in (d.get("allOf") or ())
                              if not (isinstance(s, dict) and s.get("$ref") in ext)]
@@ -232,6 +243,20 @@ class ConstraintSpec:
                     pick = max if k == "minItems" else min
                     tc[k] = pick(tc[k], v, key=lambda x: x["value"])
                 else:
+                    # uniqueItems/referential/contiguous have no tightest-bound
+                    # conjunction: last-writer-wins would silently DROP the
+                    # ancestor's table constraint (e.g. referential declared on
+                    # one column by Base, another by Child) — violations of the
+                    # dropped one would then pass with no error. Equal
+                    # re-declarations fold; true conflicts raise, like the
+                    # cardinality group-key conflict above.
+                    if k in tc and tc[k] != v:
+                        raise ValueError(
+                            f"cannot merge x-table-constraints.{k}: "
+                            f"{tc[k]!r} (ancestor) vs {v!r} ({did}) — "
+                            "conjunction of differing table constraints is "
+                            "not supported; align the chain or evaluate both "
+                            "docs separately")
                     tc[k] = v
 
         merged: dict[str, Any] = {

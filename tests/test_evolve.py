@@ -137,3 +137,39 @@ def test_diff_stable_across_recompiles_for_hof_rules(spark):
     p1 = compile_spec(ConstraintSpec.parse(doc), schema)
     p2 = compile_spec(ConstraintSpec.parse(doc), schema)
     assert plan_diff(p1, p2).is_noop
+
+
+def test_diff_distinguishes_columns_named_like_lambda_vars(spark):
+    """ADVICE r2: a blanket x_<digits> rewrite conflated genuine columns named
+    x_1/x_2 — two versions of the same rule referencing DIFFERENT x_<n>
+    columns must diff as 'changed', not silently carry stale verdicts."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("x_1", T.DoubleType()),
+                           T.StructField("x_2", T.DoubleType())])
+    v1 = {"type": "object", "properties": {},
+          "anyOf": [{"required": ["x_1"]}]}
+    v2 = {"type": "object", "properties": {},
+          "anyOf": [{"required": ["x_2"]}]}
+    p1 = compile_spec(ConstraintSpec.parse(v1), schema)
+    p2 = compile_spec(ConstraintSpec.parse(v2), schema)
+    d = plan_diff(p1, p2)
+    assert d.changed == ["$.anyOf"]
+    # and recompiling the same doc is still a no-op
+    assert plan_diff(p1, compile_spec(ConstraintSpec.parse(v1), schema)).is_noop
+
+
+def test_normalize_lambdas_anchors_to_declarations():
+    """Only declared lambda variables are renumbered; an undeclared x_<n>
+    token is a real column reference and keeps its identity. Nested lambdas
+    get distinct positional numbers."""
+    from owl2jsonschema_js_spark.evolve import _normalize_lambdas
+
+    s = "forall(arr, x_1 -> >(x_1, x_3))"
+    assert _normalize_lambdas(s) == "forall(arr, λ0 -> >(λ0, x_3))"
+    nested = "transform(arr, x_2 -> aggregate(arr2, 0, (x_3, y_4) -> +(+(x_3, y_4), x_2)))"
+    assert _normalize_lambdas(nested) == \
+        "transform(arr, λ0 -> aggregate(arr2, 0, (λ1, λ2) -> +(+(λ1, λ2), λ0)))"
+    # same expression compiled with different fresh ids normalizes identically
+    other = "forall(arr, x_9 -> >(x_9, x_3))"
+    assert _normalize_lambdas(other) == _normalize_lambdas(s)

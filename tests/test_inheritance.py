@@ -317,3 +317,83 @@ def test_merge_rejects_cardinality_over_different_group_keys():
     }
     with pytest.raises(ValueError, match="different group keys"):
         ConstraintSpec.merge_ancestors("Child.json", docs)
+
+
+def test_merge_rejects_conflicting_unique_referential_contiguous():
+    """ADVICE r2: uniqueItems/referential/contiguous have no tightest-bound
+    conjunction — a child silently replacing the ancestor's value would drop
+    the ancestor's table constraint with no error. Differing values raise;
+    identical re-declarations fold."""
+    def mk(base_tc, child_tc):
+        return {
+            "Base.json": {"id": "Base.json", "type": "object", "properties": {},
+                          "x-table-constraints": base_tc},
+            "Child.json": {"id": "Child.json", "type": "object",
+                           "allOf": [{"$ref": "Base.json"}], "properties": {},
+                           "x-table-constraints": child_tc},
+        }
+
+    with pytest.raises(ValueError, match="uniqueItems"):
+        ConstraintSpec.merge_ancestors("Child.json", mk(
+            {"uniqueItems": ["conv_id", "turn_idx"]},
+            {"uniqueItems": ["conv_id"]}))
+    with pytest.raises(ValueError, match="referential"):
+        ConstraintSpec.merge_ancestors("Child.json", mk(
+            {"referential": {"column": "tool", "table": "cat", "key": "tool"}},
+            {"referential": {"column": "role", "table": "cat", "key": "role"}}))
+    with pytest.raises(ValueError, match="contiguous"):
+        ConstraintSpec.merge_ancestors("Child.json", mk(
+            {"contiguous": "conv_id"}, {"contiguous": "user_id"}))
+    # identical re-declaration is a fold, not a conflict
+    spec = ConstraintSpec.merge_ancestors("Child.json", mk(
+        {"uniqueItems": ["conv_id", "turn_idx"]},
+        {"uniqueItems": ["conv_id", "turn_idx"]}))
+    assert spec.table.unique_keys == ("conv_id", "turn_idx")
+
+
+def test_merge_rejects_same_name_definition_with_different_body():
+    """ADVICE r2: dict.update on definitions would rebind the ancestor's
+    #/definitions/<name> $refs to the child's version after the fold."""
+    docs = {
+        "Base.json": {"id": "Base.json", "type": "object",
+                      "properties": {"v": {"$ref": "#/definitions/pos"}},
+                      "definitions": {"pos": {"minimum": 0}}},
+        "Child.json": {"id": "Child.json", "type": "object",
+                       "allOf": [{"$ref": "Base.json"}], "properties": {},
+                       "definitions": {"pos": {"minimum": 10}}},
+    }
+    with pytest.raises(ValueError, match="conflicting definition 'pos'"):
+        ConstraintSpec.merge_ancestors("Child.json", docs)
+    # identical bodies fold fine
+    docs["Child.json"]["definitions"]["pos"] = {"minimum": 0}
+    spec = ConstraintSpec.merge_ancestors("Child.json", docs)
+    assert spec.definitions["pos"] == {"minimum": 0}
+
+
+def test_required_respects_ignore_filter():
+    """ADVICE r2 / P13: an ignored key never enters the reference's
+    schema.properties and so can never be pushed into required
+    (lib/index.js:913-916 vs 1077) — a skip-listed or legacy-marked key in
+    `required` must not emit an isNotNull rule."""
+    doc = {
+        "type": "object",
+        "required": ["props", "value", "role"],
+        "properties": {
+            "props": {"pattern": "^x$"},
+            "value": {"description": "(legacy spelling; use amount)",
+                      "maximum": -1},
+            "role": {"type": "string"},
+        },
+        "x-ignore-properties": ["props"],
+    }
+    schema = T.StructType([
+        T.StructField("props", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("role", T.StringType()),
+    ])
+    plan = compile_spec(ConstraintSpec.parse(doc), schema)
+    ids = [r.rule_id for r in plan.row_rules]
+    assert "role.required" in ids
+    assert "props.required" not in ids and "value.required" not in ids
+    assert not any(r.rule_id.startswith(("props.", "value.")) for r in plan.row_rules)
+    assert sorted(plan.ignored) == ["props", "value"]  # recorded once each

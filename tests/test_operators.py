@@ -244,6 +244,53 @@ def test_dup_clusters_long_chain_converges_via_pointer_jumping(spark):
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(39)],
                                   "a_id long, b_id long")
-    out = dup_clusters(pairs, max_iter=20).collect()
+    stats = {}
+    res = dup_clusters(pairs, max_iter=20, stats=stats)
+    out = res.collect()
+    res.unpersist()
     assert len(out) == 40
-    assert {r["cluster_id"] for r in out} == {0}
+    assert all(r["cluster_id"] == 0 for r in out)
+    # O(log D) contract: ~2*log2(40)+slack, nowhere near the plain-propagation
+    # bound of 39 rounds
+    assert stats["rounds"] <= 12, stats
+
+
+def test_dup_clusters_adversarial_chain_round_count(spark):
+    """Adversarial diameter: a 300-node near-dup chain (boilerplate text
+    linking long chains is the corpus-scale worst case). Plain min-label
+    propagation needs 299 rounds; the stale-parent pointer jump must stay
+    within the O(log D) budget — this assertion protects the claim against
+    regressions that would silently turn the loop linear."""
+    import math
+
+    from owl2jsonschema_js_spark.operators.dedup import dup_clusters
+
+    d = 300
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(d - 1)],
+                                  "a_id long, b_id long")
+    stats = {}
+    res = dup_clusters(pairs, max_iter=25, stats=stats)
+    out = res.collect()
+    res.unpersist()
+    assert len(out) == d and all(r["cluster_id"] == 0 for r in out)
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(d)) + 2, stats
+
+
+def test_dedup_survivors_releases_cluster_cache(spark):
+    """ADVICE r2: dedup_survivors used to leak the persisted cluster table
+    (the documented 'call .unpersist()' contract was impossible for callers).
+    Now the loser-id set is checkpointed and everything else is released
+    before return — at most one small persisted RDD (the checkpoint) remains."""
+    from owl2jsonschema_js_spark.operators.dedup import dedup_survivors
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(10)],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "a_id long, b_id long")
+    surv = dedup_survivors(docs, pairs)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [0, 1, 4, 5, 7, 8, 9]
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
