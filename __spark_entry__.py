@@ -918,31 +918,38 @@ def q_role_alternation(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal featurizer plumbing, oracle-graded: the mapInPandas Arrow
-    batch path must return the id/kind passthrough, payload byte count and an
-    integer-exact byte-sum checksum for the deterministic synthetic media
-    table (all fields pure functions of the row id -> SQL-reproducible).
-    The float feature vector itself is pytest-gated (float32 means don't
-    cross engines bit-stably)."""
-    from owl2jsonschema_js_spark.operators.multimodal import extract_features, synth_media
+    """REAL multimodal decode, oracle-graded: synth_media_real emits valid
+    BMP/WAV/RVID files (pixels/samples pure modular arithmetic over the row
+    id) and extract_features(decode_stub=False) parses them with the
+    pure-numpy codecs (operators/media_codecs.py). content_sum is the integer
+    sum of the DECODED pixels/samples/frame-bytes — a SQL oracle recomputes
+    it from the generator formulas, so a wrong header walk, stride, row
+    order or channel order breaks the hash. The float feature vector is
+    pytest-gated (float32 doesn't cross engines bit-stably)."""
+    from owl2jsonschema_js_spark.operators.multimodal import (
+        extract_features, synth_media_real)
 
-    feats = extract_features(synth_media(spark, n=256), feat_dim=16)
+    feats = extract_features(synth_media_real(spark, n=256), feat_dim=16,
+                             decode_stub=False)
     return feats.select(F.col("media_id").cast("bigint").alias("media_id"),
                         F.col("kind"),
                         F.col("n_bytes"),
-                        F.col("byte_sum"))
+                        F.col("content_sum"))
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """1->N frame sampling over the synthetic media table (the mapInPandas
-    explosion shape a real video decoder needs; decode stubbed, plumbing
-    real). Video rows (id%3==2) yield frames 0,10,...,<n_frames; others none
-    — fully reproducible by a SQL range oracle."""
-    from owl2jsonschema_js_spark.operators.multimodal import sample_frames, synth_media
+    """REAL 1->N frame sampling: sample_frames(decode_stub=False) parses the
+    RVID container header, seeks to every 10th frame and checksums its
+    decoded RGB bytes. Video rows (id%3==2) yield frames 0,10,...,<n_frames;
+    others none — frame_sum is modular arithmetic a SQL oracle reproduces."""
+    from owl2jsonschema_js_spark.operators.multimodal import (
+        sample_frames, synth_media_real)
 
-    frames = sample_frames(synth_media(spark, n=256), every_n=10)
+    frames = sample_frames(synth_media_real(spark, n=256), every_n=10,
+                           decode_stub=False)
     return frames.select(F.col("media_id").cast("bigint").alias("media_id"),
-                         F.col("frame_no").cast("bigint").alias("frame_no"))
+                         F.col("frame_no").cast("bigint").alias("frame_no"),
+                         F.col("frame_sum"))
 
 
 def q_ann_batch_top3(spark, sf_dir):
@@ -1481,26 +1488,58 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.8
         """,
         "multimodal_features": """
-            WITH m AS (
-              SELECT r.range AS id,
-                     repeat(sha256('m' || CAST(r.range AS VARCHAR)), 4) AS s
-              FROM range(256) r),
-            b AS (
-              SELECT id, sum(ascii(substr(s, CAST(i.range AS INT) + 1, 1))) AS bsum
-              FROM m, range(256) i GROUP BY id)
-            SELECT CAST(m.id AS BIGINT) AS media_id,
-                   CASE CAST(m.id % 3 AS INT) WHEN 0 THEN 'image'
-                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                   CAST(length(m.s) AS BIGINT) AS n_bytes,
-                   CAST(b.bsum AS BIGINT) AS byte_sum
-            FROM m JOIN b ON m.id = b.id
+            -- mirror of synth_media_real + the pure-numpy decoders:
+            -- image (id%3=0): h=(id%5)+2, w=(id%7)+2,
+            --   pixel[r,c,ch] = (id*7 + r*13 + c*5 + ch*3) % 256,
+            --   n_bytes = 54 + h*stride, stride = ((3w+3)//4)*4
+            -- audio (id%3=1): n=(id%37)+8,
+            --   sample[i] = ((id*31 + i*17) % 2048) - 1024, n_bytes = 44+2n
+            -- video (id%3=2): nf=(id*37+11)%30+1, 4x3 RGB frames,
+            --   byte[f,p] = (id*11 + f*29 + p) % 256, n_bytes = 12 + nf*36
+            WITH m AS (SELECT r.range AS id FROM range(256) r),
+            img AS (
+              SELECT m.id,
+                     CAST(sum((m.id*7 + r.range*13 + c.range*5 + ch.range*3) % 256)
+                          AS BIGINT) AS cs
+              FROM m, range(6) r, range(8) c, range(3) ch
+              WHERE m.id % 3 = 0 AND r.range < (m.id % 5) + 2
+                AND c.range < (m.id % 7) + 2
+              GROUP BY m.id),
+            aud AS (
+              SELECT m.id,
+                     CAST(sum(((m.id*31 + i.range*17) % 2048) - 1024) AS BIGINT) AS cs
+              FROM m, range(44) i
+              WHERE m.id % 3 = 1 AND i.range < (m.id % 37) + 8
+              GROUP BY m.id),
+            vid AS (
+              SELECT m.id,
+                     CAST(sum((m.id*11 + f.range*29 + p.range) % 256) AS BIGINT) AS cs
+              FROM m, range(30) f, range(36) p
+              WHERE m.id % 3 = 2 AND f.range < (m.id*37 + 11) % 30 + 1
+              GROUP BY m.id)
+            SELECT CAST(id AS BIGINT) AS media_id, 'image' AS kind,
+                   CAST(54 + ((id % 5) + 2)
+                        * (((((id % 7) + 2) * 3 + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+                   cs AS content_sum
+            FROM img
+            UNION ALL
+            SELECT CAST(id AS BIGINT), 'audio',
+                   CAST(44 + 2 * ((id % 37) + 8) AS BIGINT), cs FROM aud
+            UNION ALL
+            SELECT CAST(id AS BIGINT), 'video',
+                   CAST(12 + ((id*37 + 11) % 30 + 1) * 36 AS BIGINT), cs FROM vid
         """,
         "multimodal_frames": """
-            WITH v AS (SELECT r.range AS id FROM range(256) r WHERE r.range % 3 = 2)
-            SELECT CAST(id AS BIGINT) AS media_id,
-                   CAST(unnest(range(0, (id * 37 + 11) % 300 + 1, 10)) AS BIGINT)
-                     AS frame_no
-            FROM v
+            WITH v AS (SELECT r.range AS id FROM range(256) r WHERE r.range % 3 = 2),
+            fr AS (SELECT id,
+                          CAST(unnest(range(0, (id * 37 + 11) % 30 + 1, 10)) AS BIGINT)
+                            AS frame_no
+                   FROM v)
+            SELECT CAST(f.id AS BIGINT) AS media_id, f.frame_no,
+                   CAST(sum((f.id*11 + f.frame_no*29 + p.range) % 256) AS BIGINT)
+                     AS frame_sum
+            FROM fr f, range(36) p
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH g AS (

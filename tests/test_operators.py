@@ -163,9 +163,11 @@ def test_multimodal_plumbing(spark):
     # determinism
     again = {r["media_id"]: r["feature"] for r in extract_features(media, 16).collect()}
     assert again[rows[0]["media_id"]] == rows[0]["feature"]
-    # the non-stub path declares itself unimplemented
+    # the non-stub path now REALLY decodes (BMP/WAV/RVID codecs,
+    # tests/test_media_codecs.py) — on this stub table's fake payloads it
+    # must fail header validation loudly, not fabricate features
     import pytest as _pt
-    with _pt.raises(Exception, match="NotImplementedError|real media decode"):
+    with _pt.raises(Exception, match="not a BMP|not a RIFF|not an RVID"):
         extract_features(media, decode_stub=False).collect()
 
 
