@@ -207,7 +207,7 @@ def minhash_lsh_pairs(
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,
                  a_col: str = "a_id", b_col: str = "b_id",
-                 defer_checks: int = 1,
+                 defer_checks: int = 0,
                  stats: dict | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id), where
     cluster_id is the component's minimum id.
@@ -224,13 +224,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     few rounds: iterative self-joins otherwise grow the logical plan
     per-round until analysis itself becomes the bottleneck (the classic
     Spark iterative-algorithm pitfall; persist caches data but does not
-    truncate lineage). Convergence is a changed-label count action — but NOT
-    one per round: the first ``defer_checks`` rounds skip it (a pointer-jumped
-    loop converges in >=2 rounds on any non-trivial input, so the round-0
-    check can never fire), and lazy evaluation folds the deferred rounds into
-    the first checked round's job — fewer driver round-trips, same rounds of
-    work. Only ids that appear in some pair are returned (singletons are
-    their own survivors by definition).
+    truncate lineage). Convergence costs ONE narrow aggregate per round, not
+    a join: per-id labels are monotonically non-increasing across rounds, so
+    ``sum(label)`` (exact decimal — int64 would overflow at 10^12 ids) is
+    unchanged between two rounds iff every label is unchanged — the
+    fixed-point witness is a single scan of the cached label table.
+    ``defer_checks`` rounds may additionally skip the check entirely (lazy
+    evaluation folds deferred rounds into the next checked round's job) when
+    the caller knows the graph is deep. Only ids that appear in some pair
+    are returned (singletons are their own survivors by definition).
 
     ``stats``, if given, records {'rounds': n} — the number of label-update
     rounds executed (the O(log D) convergence contract is asserted on this in
@@ -244,6 +246,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
     rounds = 0
+    prev_sum = None  # sum(label) of the previous CHECKED round
     for it in range(max_iter):
         rounds = it + 1
         prop = (edges.join(labels.withColumnsRenamed({"id": "dst", "label": "nb"}),
@@ -266,23 +269,27 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
                .select("id", F.least(F.coalesce(F.col("plabel"), F.col("label")),
                                      F.col("label"))
                        .alias("label")).persist())
-        # convergence check deferred for the first `defer_checks` rounds: the
-        # skipped rounds stay lazy and materialize inside the first checked
-        # round's job (their persists fill as the computation flows through)
-        changed = None
+        # convergence: one narrow agg over the (cached) new labels — also the
+        # action that fills the persist. Monotone non-increasing labels make
+        # the exact sum a fixed-point witness; the first checked round only
+        # records its sum (nothing to compare against yet).
+        cur_sum = None
         if it >= defer_checks:
-            changed = (new.withColumnRenamed("label", "nl").join(labels, "id")
-                       .where(F.col("nl") != F.col("label")).count())
+            cur_sum = new.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
         labels.unpersist()
         if (it + 1) % 4 == 0:
-            # truncate the (linearly growing) lineage; runs AFTER the count
+            # truncate the (linearly growing) lineage; runs AFTER the agg
             # materialized the cache so the checkpoint reads cached rows
             cp = new.localCheckpoint(eager=True)
             new.unpersist()
             new = cp
         labels = new
-        if changed == 0:
-            break
+        if cur_sum is not None:
+            if prev_sum is not None and cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     edges.unpersist()
     if stats is not None:
         stats["rounds"] = rounds

@@ -114,7 +114,9 @@ def synth_media_real(spark, n: int = 256) -> DataFrame:
                                 "payload": pd.Series(payloads, dtype=object),
                                 "meta": metas})
 
-    par = spark.sparkContext.defaultParallelism
+    # partition count sized to the data: full fan-out for corpus-scale n,
+    # but no 32-python-worker startup tax for a few-hundred-file toy table
+    par = min(spark.sparkContext.defaultParallelism, max(1, n // 32))
     return spark.range(n).repartition(par).mapInPandas(gen, MEDIA_SCHEMA)
 
 
