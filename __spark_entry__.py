@@ -1058,6 +1058,25 @@ def q_dedup_survivors(spark, sf_dir):
     return out
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental LSH dedup (bench/API surface): odd-id docs arrive as the
+    crawl increment against an even-id corpus index (minhash_features); only
+    pairs involving >=1 new doc are generated — old-old pairs are
+    structurally excluded from the bucket join. Equality with the batch pair
+    set restricted to new ids is pytest-gated (test_dedup_incremental.py)."""
+    from owl2jsonschema_js_spark.operators.dedup import (
+        minhash_features, minhash_lsh_pairs_incremental)
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    pairs, _ = minhash_lsh_pairs_incremental(new, minhash_features(old),
+                                             threshold=0.7)
+    return pairs.select(F.col("a_id").cast("bigint").alias("a_id"),
+                        F.col("b_id").cast("bigint").alias("b_id"),
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_resume_manifest(spark, sf_dir):
     """Checkpoint/resume through the public API, oracle-graded: run validation
     with an injected failure after 2 partitions, resume, and return the final
@@ -1197,6 +1216,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "sessionize": q_sessionize,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 

@@ -98,50 +98,33 @@ def ngram_jaccard_pairs(
     return _pair_jaccard(grams, id_col).where(F.col("jaccard") >= threshold)
 
 
-def minhash_lsh_pairs(
+def minhash_features(
     docs: DataFrame,
     n_hashes: int = 48,
-    bands: int = 8,
     shingle_k: int = 5,
-    threshold: float = 0.7,
-    max_bucket: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+    """(id, grams, sig): distinct shingle-hash set + MinHash signature per
+    document — the persistable dedup INDEX (at corpus scale this is the table
+    you checkpoint/store and feed to :func:`minhash_lsh_pairs_incremental`
+    when the next crawl increment arrives).
 
-    Pipeline: shingles -> per-seed min of xxhash64(shingle, seed) (signature) ->
-    band keys = xxhash64 over each band's rows -> same-bucket join for
-    candidates (the ONLY pair-generating step) -> exact Jaccard on candidates
-    only. With b bands of r rows the usual S-curve applies:
-    P(candidate) = 1-(1-j^r)^b. Defaults b=8, r=6 put the S-curve knee
-    (1/b)^(1/r) ~= 0.71 at the default threshold — below-threshold pairs
-    mostly never become candidates (measured 79k -> ~8k candidates on 5k
-    templated docs vs r=4), which is what bounds the self-join at scale.
+    Shingle-hash + signature FUSED into one Arrow-batched vectorized pass:
+    byte k-grams via a sliding-window dot with base powers (one windowed
+    matmul per doc, as in winnow_fingerprints), np.unique for the distinct
+    shingle-hash set, then an (n_grams x n_hashes) multiply-shift universal
+    hash column-min for the signature. The previous all-JVM expression
+    formulation (transform/substring/xxhash64 + aggregate-of-transform
+    lanes) stays on the JVM but is *interpreted*, not codegen'd — measured
+    ~19s vs ~3s on 5k docs for this fused numpy version. Jaccard over hashed
+    byte shingles equals Jaccard over shingles modulo 64-bit collisions.
+    Seeds are fixed module constants, so a document's signature is identical
+    whether computed in a batch run or an incremental one.
 
-    Scale guards (both essential at 100 TB):
-      * buckets larger than ``max_bucket`` are DROPPED before the self-join —
-        a hot bucket is quadratic in its size and carries little signal
-        (boilerplate/templated text); this bounds the join at
-        O(buckets * max_bucket^2). Dropped mass is observable via
-        bucket-size stats, not silently unbounded work.
-      * the band join carries only (id, band, bucket); shingle arrays are
-        re-joined AFTER candidate dedup, so wide arrays never ride the
-        pair-generating shuffle."""
-    assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
-    # shingling+hashing is compute-bound (~n_hashes * len(text) hash ops/doc):
-    # spread rows across cores even when the source is one small file/partition
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    # Shingle-hash + signature FUSED into one Arrow-batched vectorized pass:
-    # byte k-grams via a sliding-window dot with base powers (one windowed
-    # matmul per doc, as in winnow_fingerprints), np.unique for the distinct
-    # shingle-hash set, then an (n_grams x n_hashes) multiply-shift universal
-    # hash column-min for the signature. The previous all-JVM expression
-    # formulation (transform/substring/xxhash64 + aggregate-of-transform
-    # lanes) stays on the JVM but is *interpreted*, not codegen'd — measured
-    # ~19s vs ~3s on 5k docs for this fused numpy version. Jaccard over hashed
-    # byte shingles equals Jaccard over shingles modulo 64-bit collisions.
+    Shingle-less docs (null/short text) are dropped: they can't near-dup and
+    would all share the empty signature -> one giant bucket + 0/0 Jaccard;
+    exact_dups owns exact-empty duplicates."""
     rng = np.random.default_rng(0x5EED)
     mul = (rng.integers(1, 1 << 62, size=n_hashes, dtype=np.uint64) << 1) + 1  # odd
     add = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64)
@@ -165,25 +148,81 @@ def minhash_lsh_pairs(
             sig_out.append(m.min(axis=0).view(np.int64))
         return pd.DataFrame({"grams": grams_out, "sig": sig_out})
 
+    # shingling+hashing is compute-bound (~n_hashes * len(text) hash ops/doc):
+    # spread rows across cores even when the source is one small file/partition
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.repartition(par)
+            .select(F.col(id_col).alias("id"), feats(F.col(text_col)).alias("f"))
+            .select("id", "f.grams", "f.sig")
+            .where(F.size("grams") > 0))
+
+
+def _banded(feat: DataFrame, n_hashes: int, bands: int,
+            carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, band_no, bucket [, *carry]) band keys from a signature table —
+    bucket = xxhash64 over each band's signature rows."""
+    rows_per_band = n_hashes // bands
+    return feat.select(
+        "id", *carry,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_no"),
+                     F.xxhash64(F.lit(b),
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                     .alias("bucket"))
+            for b in range(bands)])).alias("bb"),
+    ).select("id", *carry, "bb.band_no", "bb.bucket")
+
+
+def _verify_jaccard(cands: DataFrame, grams: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over the hashed-shingle sets, joined AFTER candidate
+    dedup so wide gram arrays never ride the pair-generating shuffle."""
+    ga = grams.select(F.col("id").alias("a_id"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("id").alias("b_id"), F.col("grams").alias("gb"))
+    j = (F.size(F.array_intersect("ga", "gb")).cast("double")
+         / F.size(F.array_union("ga", "gb")))
+    return (cands.join(ga, "a_id").join(gb, "b_id")
+            .select("a_id", "b_id", j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 48,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    Pipeline: :func:`minhash_features` (fused shingle-hash + signature) ->
+    band keys = xxhash64 over each band's rows -> same-bucket join for
+    candidates (the ONLY pair-generating step) -> exact Jaccard on candidates
+    only. With b bands of r rows the usual S-curve applies:
+    P(candidate) = 1-(1-j^r)^b. Defaults b=8, r=6 put the S-curve knee
+    (1/b)^(1/r) ~= 0.71 at the default threshold — below-threshold pairs
+    mostly never become candidates (measured 79k -> ~8k candidates on 5k
+    templated docs vs r=4), which is what bounds the self-join at scale.
+
+    Scale guards (both essential at 100 TB):
+      * buckets larger than ``max_bucket`` are DROPPED before the self-join —
+        a hot bucket is quadratic in its size and carries little signal
+        (boilerplate/templated text); this bounds the join at
+        O(buckets * max_bucket^2). Dropped mass is observable via
+        bucket-size stats, not silently unbounded work.
+      * the band join carries only (id, band, bucket); shingle arrays are
+        re-joined AFTER candidate dedup, so wide arrays never ride the
+        pair-generating shuffle."""
+    assert n_hashes % bands == 0
     # persist: this subtree feeds 6 DAG branches (bucket sizes, both self-join
     # sides, both verify sides); without persist Spark re-executes it per
     # branch. At cluster scale this intermediate would be checkpointed to a
-    # signatures table instead.
-    # shingle-less docs (null/short text) can't near-dup and would all share
-    # the empty signature -> one giant bucket + 0/0 Jaccard; exact_dups owns
-    # exact-empty duplicates
-    feat = (docs.repartition(par)
-            .select(F.col(id_col).alias("id"), feats(F.col(text_col)).alias("f"))
-            .select("id", "f.grams", "f.sig")
-            .where(F.size("grams") > 0).persist())
-    grams = feat.select("id", "grams")
-    sigs = feat.select("id", "sig")
-    banded = sigs.select("id", F.explode(F.array(*[
-        F.struct(F.lit(b).alias("band_no"),
-                 F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                 .alias("bucket"))
-        for b in range(bands)])).alias("bb"))
-    banded = banded.select("id", "bb.band_no", "bb.bucket")
+    # signatures table instead (minhash_features is that table's generator).
+    feat = minhash_features(docs, n_hashes, shingle_k, id_col, text_col).persist()
+    banded = _banded(feat, n_hashes, bands)
 
     bucket_sizes = banded.groupBy("band_no", "bucket").agg(F.count(F.lit(1)).alias("bc"))
     small = banded.join(bucket_sizes.where(F.col("bc") <= max_bucket),
@@ -196,13 +235,60 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    ga = grams.select(F.col("id").alias("a_id"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("id").alias("b_id"), F.col("grams").alias("gb"))
-    j = (F.size(F.array_intersect("ga", "gb")).cast("double")
-         / F.size(F.array_union("ga", "gb")))
-    return (cands.join(ga, "a_id").join(gb, "b_id")
-            .select("a_id", "b_id", j.alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+    return _verify_jaccard(cands, feat.select("id", "grams"), threshold)
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    n_hashes: int = 48,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection: new documents against an existing
+    corpus INDEX — the production shape when a crawl increment lands daily
+    and the already-deduped corpus is 100 TB.
+
+    ``index`` is a (id, grams, sig) table from :func:`minhash_features` (or a
+    previous incremental call) — at scale a stored/checkpointed table, so the
+    old corpus is never re-shingled. Only NEW documents pay the signature
+    pass, and the bucket join is restricted to pairs with at least one new
+    side: old-old pairs (already handled in prior runs) are structurally
+    excluded from the join output, not filtered after the fact. Bucket sizes
+    are computed over old+new together, so a boilerplate bucket that grew
+    past ``max_bucket`` only via the increment is still guarded.
+
+    Returns ``(pairs, new_index)``: pairs = (a_id, b_id, jaccard) with at
+    least one new id per pair; new_index = old index ∪ new features, ready
+    to store for the next increment. The union backing both outputs is
+    persisted internally — write ``new_index`` out (or unpersist via
+    ``spark.catalog.clearCache()``) in long-lived sessions."""
+    assert n_hashes % bands == 0
+    new_feat = (minhash_features(new_docs, n_hashes, shingle_k, id_col, text_col)
+                .withColumn("is_new", F.lit(True)))
+    all_feat = (index.select("id", "grams", "sig")
+                .withColumn("is_new", F.lit(False))
+                .unionByName(new_feat).persist())
+    banded = _banded(all_feat, n_hashes, bands, carry=("is_new",))
+
+    bucket_sizes = banded.groupBy("band_no", "bucket").agg(F.count(F.lit(1)).alias("bc"))
+    small = banded.join(bucket_sizes.where(F.col("bc") <= max_bucket),
+                        on=["band_no", "bucket"])
+    a, b_ = small.alias("a"), small.alias("b")
+    cands = (
+        a.join(b_, (F.col("a.band_no") == F.col("b.band_no"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.col("a.is_new") | F.col("b.is_new")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    pairs = _verify_jaccard(cands, all_feat.select("id", "grams"), threshold)
+    return pairs, all_feat.select("id", "grams", "sig")
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,

@@ -1,0 +1,68 @@
+"""Incremental MinHash-LSH dedup: new documents vs a stored corpus index.
+
+Contracts: (1) signatures are identical whether computed batch or
+incrementally (fixed module seeds); (2) incremental pairs == the batch pair
+set restricted to pairs involving >=1 new doc; (3) old-old pairs are
+structurally excluded; (4) the returned index equals a full recompute."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.operators.dedup import (
+    minhash_features, minhash_lsh_pairs, minhash_lsh_pairs_incremental)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _pairset(df):
+    return {(r["a_id"], r["b_id"]): round(r["jaccard"], 6) for r in df.collect()}
+
+
+def test_incremental_equals_batch_restricted_to_new(spark, docs):
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    batch = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    assert batch, "corpus should contain near-dup pairs"
+
+    index = minhash_features(old).persist()
+    inc_pairs, new_index = minhash_lsh_pairs_incremental(new, index, threshold=0.7)
+    got = _pairset(inc_pairs)
+
+    expected = {p: j for p, j in batch.items()
+                if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert got == expected
+    # old-old pairs exist in the batch set and are structurally excluded here
+    old_old = {p for p in batch if p[0] % 2 == 0 and p[1] % 2 == 0}
+    assert old_old, "fixture should contain old-old pairs for this test to bite"
+    assert not (set(got) & old_old)
+    index.unpersist()
+
+
+def test_incremental_index_equals_full_recompute(spark, docs):
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    _, new_index = minhash_lsh_pairs_incremental(new, minhash_features(old))
+    full = minhash_features(docs)
+
+    got = {r["id"]: (list(r["sig"]), len(r["grams"]))
+           for r in new_index.collect()}
+    exp = {r["id"]: (list(r["sig"]), len(r["grams"]))
+           for r in full.collect()}
+    assert got == exp
+
+
+def test_signature_determinism_batch_vs_incremental_lane(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["id"]: list(r["sig"]) for r in minhash_features(df).collect()}
+    b = {r["id"]: list(r["sig"]) for r in minhash_features(df).collect()}
+    assert a == b and set(a) == {1, 2}
+    assert a[1] != a[2]
