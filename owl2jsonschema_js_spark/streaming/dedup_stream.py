@@ -1,0 +1,81 @@
+"""Streaming near-dup detection: a document stream deduped incrementally
+against a persistent corpus index.
+
+The batch incremental operator (`operators/dedup.py
+minhash_lsh_pairs_incremental`) is the per-micro-batch kernel; this module
+adds the foreachBatch plumbing and the index lifecycle:
+
+ * the index lives as a parquet table (at cluster scale: an Iceberg table —
+   same TableIO lane as everything else) holding (id, grams, sig) rows from
+   `minhash_features`;
+ * each micro-batch signs only its own documents, bucket-joins against the
+   stored index with the new-side restriction (old-old pairs never
+   regenerate), appends detected pairs to the output, and appends its own
+   signatures to the index — so the next batch sees this batch's docs;
+ * state is therefore EXTERNALIZED to storage, not held in Spark streaming
+   state: near-dup state is O(corpus) and must survive restarts/redeploys,
+   which is exactly what a table gives and `applyInPandasWithState` does not.
+
+This is the honest streaming split (mirrors drift_monitor's note): the
+signature pass and bucket join are stateless per batch; the corpus memory is
+a table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
+                  threshold: float = 0.7, n_hashes: int = 48, bands: int = 8,
+                  shingle_k: int = 5, max_bucket: int = 64,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """foreachBatch incremental-dedup sink.
+
+    Per micro-batch: read the index table (absent on the first batch), run
+    the incremental pair kernel, append (batch_id, a_id, b_id, jaccard) to
+    ``pairs_path`` and the batch's signatures to ``index_path``.
+
+    Returns an attach(stream_df) factory; call ``.start()`` on the result.
+    Exactly-once caveat (documented, standard foreachBatch semantics): a
+    batch replayed after a crash between the two appends could duplicate
+    rows; at cluster scale both appends become idempotent Iceberg
+    MERGE/overwrite-by-batch-id commits."""
+    from owl2jsonschema_js_spark.operators.dedup import (
+        minhash_features, minhash_lsh_pairs_incremental)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_feat = minhash_features(batch_df, n_hashes, shingle_k,
+                                    id_col, text_col).persist()
+        if os.path.exists(index_path):
+            index = spark.read.parquet(index_path)
+            pairs, _ = minhash_lsh_pairs_incremental(
+                batch_df, index, n_hashes=n_hashes, bands=bands,
+                shingle_k=shingle_k, threshold=threshold,
+                max_bucket=max_bucket, id_col=id_col, text_col=text_col)
+        else:
+            # first batch: no corpus yet — batch-internal pairs only
+            from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
+            pairs = minhash_lsh_pairs(
+                batch_df, n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
+                threshold=threshold, max_bucket=max_bucket,
+                id_col=id_col, text_col=text_col)
+        (pairs.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(pairs_path))
+        # append AFTER the pair write so this batch never pairs against itself
+        # twice (in-batch pairs come from the kernel's new-new side)
+        new_feat.write.mode("append").parquet(index_path)
+        new_feat.unpersist()
+        spark.catalog.clearCache()  # release kernel-internal union cache
+
+    def attach(stream_df: DataFrame):
+        return (stream_df.writeStream
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True))
+
+    return attach

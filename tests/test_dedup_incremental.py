@@ -66,3 +66,38 @@ def test_signature_determinism_batch_vs_incremental_lane(spark):
     b = {r["id"]: list(r["sig"]) for r in minhash_features(df).collect()}
     assert a == b and set(a) == {1, 2}
     assert a[1] != a[2]
+
+
+def test_streaming_dedup_monitor_accumulates_index(spark, tmp_path):
+    """Two micro-batches through dedup_monitor: batch 0 seeds the index
+    (internal pairs only), batch 1 dedups against it. The union of emitted
+    pairs must equal the full batch pair set over all documents — proving
+    the table-backed index carries corpus memory across batches."""
+    from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    # one file per half -> maxFilesPerTrigger=1 gives two micro-batches
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    attach = dedup_monitor(index_path, pairs_path,
+                           str(tmp_path / "ckpt"), threshold=0.7)
+    q = attach(stream).start()
+    q.awaitTermination(300)
+
+    got = _pairset(spark.read.parquet(pairs_path))
+    full = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    assert got == full
+    n_batches = (spark.read.parquet(pairs_path)
+                 .select("batch_id").distinct().count())
+    # pairs may all land in one batch's output only if that batch found them;
+    # the INDEX must still contain every doc's signature
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == minhash_features(docs).count()
+    assert n_batches >= 1

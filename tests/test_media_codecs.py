@@ -197,3 +197,54 @@ def test_stub_lane_still_works_and_content_sum_equals_byte_sum(spark):
     for r in out:
         assert r["content_sum"] == r["byte_sum"]
         assert len(r["feature"]) == 4
+
+
+# ------------------------------------------------------- property fuzz
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=50, deadline=None)
+    @given(samples=arrays(np.int16, st.integers(0, 300)),
+           rate=st.sampled_from([8000, 16000, 44100]))
+    def test_fuzz_wav_roundtrip(samples, rate):
+        r, got = mc.decode_wav(mc.encode_wav(samples, rate))
+        assert r == rate and np.array_equal(got, samples)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.data())
+    def test_fuzz_bmp_roundtrip(data):
+        h = data.draw(st.integers(1, 16))
+        w = data.draw(st.integers(1, 16))
+        px = data.draw(arrays(np.uint8, (h, w, 3)))
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(px)), px)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def test_fuzz_rvid_roundtrip_and_seek(data):
+        n = data.draw(st.integers(1, 8))
+        h = data.draw(st.integers(1, 8))
+        w = data.draw(st.integers(1, 8))
+        fr = data.draw(arrays(np.uint8, (n, h, w, 3)))
+        b = mc.encode_rvid(fr)
+        assert mc.decode_rvid_header(b) == (w, h, n)
+        f = data.draw(st.integers(0, n - 1))
+        assert np.array_equal(mc.decode_rvid_frame(b, f), fr[f])
+
+    @settings(max_examples=30, deadline=None)
+    @given(arrays(np.uint8, st.tuples(st.integers(1, 20), st.integers(1, 20))),
+           st.integers(1, 12), st.integers(1, 12))
+    def test_fuzz_resize_preserves_corners_and_range(img, oh, ow):
+        out = mc.resize_nearest(img, oh, ow)
+        assert out.shape == (oh, ow)
+        assert out[0, 0] == img[0, 0]
+        # nearest-neighbor only selects existing values
+        assert set(np.unique(out)) <= set(np.unique(img))
