@@ -159,3 +159,26 @@ def test_delta_plan_scan_prunes_to_delta_columns(spark, fixture60, tmp_path):
     cols = set(read_schema_columns(res.verdicts))
     assert "text" not in cols and "tool" not in cols and "ts" not in cols
     assert "turn_idx" in cols
+
+
+def test_minhash_incremental_pair_join_carries_no_arrays(spark):
+    """Incremental dedup: the pair-generating bucket self-join must shuffle
+    only (id, is_new, band_no, bucket) — gram/sig arrays re-join after
+    candidate dedup (same discipline as the batch LSH path)."""
+    from owl2jsonschema_js_spark.operators.dedup import (
+        minhash_features, minhash_lsh_pairs_incremental)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    pairs, _ = minhash_lsh_pairs_incremental(new, minhash_features(old))
+    plan = explain_str(pairs, "formatted")
+    lines = plan.splitlines()
+    # the candidate-dedup exchange hashes on (a_id, b_id); its input must be
+    # exactly the two id columns
+    arg_idx = next(i for i, ln in enumerate(lines)
+                   if "hashpartitioning(a_id" in ln)
+    input_line = next(lines[j] for j in range(arg_idx - 1, arg_idx - 6, -1)
+                      if lines[j].strip().startswith("Input"))
+    assert "Input [2]" in input_line, input_line
+    assert "grams" not in input_line and "sig" not in input_line, input_line
