@@ -1058,6 +1058,19 @@ def q_dedup_survivors(spark, sf_dir):
     return out
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher/C4-style quality-filter chain (bench/API surface): one codegen
+    scan computes every signal + per-rule flags; output is the rejection
+    histogram (first-failed-rule counts) — the observability a pipeline
+    needs to tune thresholds. Plan is join/shuffle-free up to the final
+    tiny groupBy (gated in test_operators.py)."""
+    from owl2jsonschema_js_spark.operators.textstats import quality_filter
+
+    qf = quality_filter(_t(spark, sf_dir, "documents"))
+    return (qf.groupBy(F.coalesce("first_failed", F.lit("kept")).alias("verdict"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental LSH dedup (bench/API surface): odd-id docs arrive as the
     crawl increment against an even-id corpus index (minhash_features); only
@@ -1217,6 +1230,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "sessionize": q_sessionize,
         "dedup_incremental": q_dedup_incremental,
+        "quality_filter": q_quality_filter,
     }
 
 

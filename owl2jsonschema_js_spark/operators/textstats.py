@@ -85,12 +85,16 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def corpus_profile(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   stopwords: list[str] | None = None) -> DataFrame:
+                   stopwords: list[str] | None = None,
+                   extra: dict[str, Column] | None = None) -> DataFrame:
     """Every cheap text signal of the training-data pipeline in ONE scan:
     token count, BPE-ish count, distinct/stopword/punctuation ratios, and
     language ID. All are column expressions over the same tokenization, so
     Catalyst fuses the whole profile into a single WholeStageCodegen pass
-    over the pruned (id, text) scan — asserted in tests/test_plans.py."""
+    over the pruned (id, text) scan — asserted in tests/test_plans.py.
+    ``extra``: additional named Columns to evaluate in the SAME scan (used by
+    quality_filter for the dup-line ratio — a join here would be a shuffle
+    for nothing)."""
     sw = F.array(*[F.lit(w) for w in (stopwords or LANG_PROFILES["en"])])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     uniq = F.array_distinct(toks)
@@ -106,6 +110,7 @@ def corpus_profile(docs: DataFrame, id_col: str = "doc_id",
          / F.greatest(F.length(text_col), F.lit(1))).alias("punct_ratio"),
         best["lang"].alias("lang_pred"),
         best["score"].alias("lang_score"),
+        *[c.alias(name) for name, c in (extra or {}).items()],
     )
 
 
@@ -142,3 +147,62 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 4,
         return pd.Series(out)
 
     return docs.select(F.col(id_col), fp(F.col(text_col)).alias("fingerprints"))
+
+
+# Gopher-style default bounds for quality_filter — each rule is
+# (rule_id, column, lo, hi); None = unbounded on that side. Values follow the
+# published corpus-filtering heuristics (Rae et al. 2021 "Gopher" §A1.1 /
+# C4's line-level rules), adapted to the signals corpus_profile computes.
+DEFAULT_QUALITY_RULES: list[tuple[str, str, float | None, float | None]] = [
+    ("tokens",        "n_tokens",        50,    100_000),
+    ("distinct",      "distinct_ratio",  0.20,  None),     # repetition guard
+    ("stopword",      "stopword_ratio",  0.01,  None),     # gibberish guard
+    ("punct",         "punct_ratio",     None,  0.20),     # markup/code guard
+    ("repeated_line", "dup_line_ratio",  None,  0.30),     # boilerplate guard
+]
+
+
+def dup_line_ratio(text_col: str = "text") -> Column:
+    """Fraction of duplicate lines within the document (C4's repeated-line
+    heuristic): 1 - distinct_lines/lines. Single-line docs score 0."""
+    lines = F.split(F.col(text_col), r"\n")
+    n = F.size(lines).cast("double")
+    return (F.lit(1.0) - F.size(F.array_distinct(lines)) / n)
+
+
+def quality_filter(docs: DataFrame, rules=None, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Corpus quality-filter chain: every signal + per-rule pass flags + the
+    keep verdict + the first failed rule, in ONE codegen scan.
+
+    This is the standard shape between crawling and training: compute cheap
+    signals (corpus_profile + dup-line ratio), apply threshold rules, keep
+    the survivors — but emit per-rule attribution rather than a bare boolean,
+    because at corpus scale the *rejection histogram* (groupBy first_failed)
+    is the observability a pipeline needs to tune thresholds. Rules are
+    (rule_id, column, lo, hi) tuples over the profile columns; rows failing
+    rule k still evaluate rule k+1 (flags are independent), mirroring how the
+    validation engine reports every violated constraint, not just the first.
+
+    Output: profile columns + ok_<rule> booleans + keep + first_failed
+    (null when kept). All JVM expressions — filter chains must never be the
+    Python-UDF part of a pipeline."""
+    rules = DEFAULT_QUALITY_RULES if rules is None else rules
+    prof = corpus_profile(docs, id_col, text_col,
+                          extra={"dup_line_ratio": dup_line_ratio(text_col)})
+    flags = {}
+    for rid, col, lo, hi in rules:
+        ok = F.lit(True)
+        if lo is not None:
+            ok = ok & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            ok = ok & (F.col(col) <= F.lit(hi))
+        flags[f"ok_{rid}"] = F.coalesce(ok, F.lit(False))
+    out = prof.withColumns(flags)
+    keep = F.lit(True)
+    for rid, *_ in rules:
+        keep = keep & F.col(f"ok_{rid}")
+    first_failed = F.coalesce(
+        *[F.when(~F.col(f"ok_{rid}"), F.lit(rid)) for rid, *_ in rules],
+        F.lit(None).cast("string"))
+    return out.withColumn("keep", keep).withColumn("first_failed", first_failed)

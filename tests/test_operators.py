@@ -296,3 +296,44 @@ def test_dedup_survivors_releases_cluster_cache(spark):
     assert sorted(r["doc_id"] for r in surv.collect()) == [0, 1, 4, 5, 7, 8, 9]
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
+
+
+def test_quality_filter_rules_and_attribution(spark):
+    """Gopher/C4-style quality filter: per-rule flags, keep verdict, and
+    first-failed attribution, verified on hand-built docs with one known
+    failure mode each."""
+    from owl2jsonschema_js_spark.operators.textstats import quality_filter
+
+    # varied vocabulary (repeating one sentence x10 fails the distinct-ratio
+    # rule — correctly: that IS the repetition guard firing)
+    good = " ".join(f"the item{i} holds value{i} and" for i in range(20))
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "short doc"),                            # tokens (too few)
+        (2, ("spam " * 600).strip()),                # distinct_ratio too low
+        (3, ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 6).strip()),  # no stopwords
+        (4, "the, and; of! is? " * 30),              # punct_ratio too high
+        (5, "\n".join(["the data of the run is fine today"] * 20)),  # dup lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert out[0]["keep"] and out[0]["first_failed"] is None
+    assert not out[1]["keep"] and out[1]["first_failed"] == "tokens"
+    assert not out[2]["keep"] and not out[2]["ok_distinct"]
+    assert not out[3]["keep"] and not out[3]["ok_stopword"]
+    assert not out[4]["keep"] and not out[4]["ok_punct"]
+    assert not out[5]["keep"] and not out[5]["ok_repeated_line"]
+    # attribution order: first_failed is the FIRST rule in rule order
+    assert out[2]["first_failed"] in ("tokens", "distinct")
+    # survivors filterable in the obvious way
+    assert [r["doc_id"] for r in quality_filter(df).where("keep").collect()] == [0]
+
+
+def test_quality_filter_single_scan_no_join(spark):
+    """The filter chain must stay one codegen scan — dup_line_ratio rides the
+    corpus_profile select; a join here would shuffle the whole corpus."""
+    from owl2jsonschema_js_spark.operators.textstats import quality_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan[:500]
