@@ -53,8 +53,12 @@ def test_per_partition_verdicts(spark, fixture60):
 
 def test_checked_ok_all_consistent(spark, fixture60):
     result, df = _run(spark, fixture60)
+    # the small tool catalog folds referential into the row scan, so checked
+    # carries ok__table_referential and ok_all covers it — referential IS
+    # row-local once the catalog key set is a predicate
+    assert "ok__table_referential" in result.checked.columns
     n_bad_rows = result.checked.where(~F.col("ok_all")).count()
-    row_rule_ids = {"role.enum", "text.required"}
+    row_rule_ids = {"role.enum", "text.required", "table.referential"}
     exp_rows = sum(1 for v in fixture60.expected if v["rule_id"] in row_rule_ids)
     assert n_bad_rows == exp_rows
 
