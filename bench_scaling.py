@@ -24,7 +24,12 @@ import subprocess
 import sys
 import tempfile
 
-N_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "80000000"))
+# 160M default (was 80M): the round-3 runner optimization made the 80M job
+# finish in ~11s at local[32], where ~3s of fixed per-run cost (scan
+# planning, task launch) dominates the 4x-pair arithmetic — a short-job
+# artifact a 10^12-row job never sees. Doubling the corpus keeps the
+# high-parallelism wall in the overhead-clean regime.
+N_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "160000000"))
 LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")]
 
 CHILD = r"""

@@ -56,7 +56,10 @@ def _safe(rule_id: str) -> str:
 class ValidationResult:
     """Lazy handles over the run's outputs; nothing is collected until asked."""
 
-    checked: DataFrame          # input + ok__<rule> boolean columns + ok_all
+    # input + ok__<rule> boolean columns + ok_all; when the catalog is small
+    # enough to fold (REF_FOLD_MAX), ok__table_referential rides here too —
+    # referential is row-local once the catalog key set is a predicate
+    checked: DataFrame
     violations: DataFrame       # (part, rule_id, conv_id, turn_idx, observed, schema_id)
     verdicts: DataFrame         # (part, n_rows, rule_id, n_violations) long-form
     rule_ids: list[str] = field(default_factory=list)
