@@ -248,6 +248,7 @@ def minhash_lsh_pairs_incremental(
     max_bucket: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    new_feat: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: new documents against an existing
     corpus INDEX — the production shape when a crawl increment lands daily
@@ -264,15 +265,24 @@ def minhash_lsh_pairs_incremental(
 
     Returns ``(pairs, new_index)``: pairs = (a_id, b_id, jaccard) with at
     least one new id per pair; new_index = old index ∪ new features, ready
-    to store for the next increment. The union backing both outputs is
-    persisted internally — write ``new_index`` out (or unpersist via
-    ``spark.catalog.clearCache()``) in long-lived sessions."""
+    to store for the next increment.
+
+    Cache posture (the at-scale constraint drives it): only the INCREMENT's
+    features are persisted — the old-index side is re-scanned per consumer,
+    because at 100 TB the index is a stored table you cannot cache and
+    should not try to (a per-band bucket table, stored alongside the index,
+    would cut those re-scans further; noted, not needed at this scale).
+    Pass ``new_feat`` (a persisted :func:`minhash_features` frame for the
+    SAME new_docs) to own the cache lifecycle yourself — the streaming
+    monitor does this so each micro-batch releases exactly its own cache."""
     assert n_hashes % bands == 0
-    new_feat = (minhash_features(new_docs, n_hashes, shingle_k, id_col, text_col)
-                .withColumn("is_new", F.lit(True)))
+    if new_feat is None:
+        new_feat = minhash_features(new_docs, n_hashes, shingle_k,
+                                    id_col, text_col).persist()
     all_feat = (index.select("id", "grams", "sig")
                 .withColumn("is_new", F.lit(False))
-                .unionByName(new_feat).persist())
+                .unionByName(new_feat.select("id", "grams", "sig")
+                             .withColumn("is_new", F.lit(True))))
     banded = _banded(all_feat, n_hashes, bands, carry=("is_new",))
 
     bucket_sizes = banded.groupBy("band_no", "bucket").agg(F.count(F.lit(1)).alias("bc"))
@@ -288,7 +298,9 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["a_id", "b_id"])
     )
     pairs = _verify_jaccard(cands, all_feat.select("id", "grams"), threshold)
-    return pairs, all_feat.select("id", "grams", "sig")
+    new_index = (index.select("id", "grams", "sig")
+                 .unionByName(new_feat.select("id", "grams", "sig")))
+    return pairs, new_index
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,

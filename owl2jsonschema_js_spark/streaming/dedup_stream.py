@@ -49,6 +49,9 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # sign the batch ONCE, own the cache: the same persisted features
+        # drive the pair kernel (via new_feat=) and the index append, and are
+        # released here — no kernel-internal cache survives the batch.
         new_feat = minhash_features(batch_df, n_hashes, shingle_k,
                                     id_col, text_col).persist()
         if os.path.exists(index_path):
@@ -56,7 +59,8 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
             pairs, _ = minhash_lsh_pairs_incremental(
                 batch_df, index, n_hashes=n_hashes, bands=bands,
                 shingle_k=shingle_k, threshold=threshold,
-                max_bucket=max_bucket, id_col=id_col, text_col=text_col)
+                max_bucket=max_bucket, id_col=id_col, text_col=text_col,
+                new_feat=new_feat)
         else:
             # first batch: no corpus yet — batch-internal pairs only
             from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
@@ -70,7 +74,6 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
         # twice (in-batch pairs come from the kernel's new-new side)
         new_feat.write.mode("append").parquet(index_path)
         new_feat.unpersist()
-        spark.catalog.clearCache()  # release kernel-internal union cache
 
     def attach(stream_df: DataFrame):
         return (stream_df.writeStream
