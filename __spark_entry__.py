@@ -152,8 +152,11 @@ def q_val_verdict_rollup(spark, sf_dir):
     df = _events_as_transcripts(spark, sf_dir)
     plan = compile_spec(ConstraintSpec.parse(_events_constraints()), df.schema)
     res = ValidationRunner(plan, n_parts=8).run(df)
-    return (res.violations.groupBy("rule_id")
-            .agg(F.count(F.lit(1)).alias("n_violations")))
+    out = (res.violations.groupBy("rule_id")
+           .agg(F.count(F.lit(1)).alias("n_violations"))
+           .localCheckpoint(eager=True))  # release the cascade cache
+    res.unpersist()
+    return out
 
 
 def q_profile_stats(spark, sf_dir):
@@ -219,11 +222,9 @@ def q_gap_histogram(spark, sf_dir):
                     F.col("count").alias("n_gaps")))
 
 
-def q_drift_psi(spark, sf_dir):
-    """PSI between purchase-value and view-value distributions over 16 fixed
-    linear bins, add-half smoothing — engine histogram agg + driver PSI."""
-    from owl2jsonschema_js_spark.drift import psi_from_hists
-
+def _psi_hists(spark, sf_dir):
+    """(purchase, view) 16-bin value histograms — ONE engine aggregation
+    shared by the drift_psi / drift_ks / drift_stats queries."""
     ev = _t(spark, sf_dir, "events")
     bin_col = F.least(F.lit(N_PSI_BINS - 1),
                       F.floor(F.col("value") / PSI_BIN_W)).cast("int")
@@ -234,6 +235,15 @@ def q_drift_psi(spark, sf_dir):
     q = [0] * N_PSI_BINS
     for r in hists:
         (p if r["event_type"] == "purchase" else q)[r["b"]] = r["c"]
+    return p, q
+
+
+def q_drift_psi(spark, sf_dir):
+    """PSI between purchase-value and view-value distributions over 16 fixed
+    linear bins, add-half smoothing — engine histogram agg + driver PSI."""
+    from owl2jsonschema_js_spark.drift import psi_from_hists
+
+    p, q = _psi_hists(spark, sf_dir)
     psi = round(psi_from_hists(p, q), 6)
     return spark.createDataFrame([(psi,)], "psi double")
 
@@ -245,16 +255,7 @@ def q_drift_stats(spark, sf_dir):
     smoothed-ratio / window-ECDF oracle."""
     from owl2jsonschema_js_spark.drift import ks_from_hists, psi_from_hists
 
-    ev = _t(spark, sf_dir, "events")
-    bin_col = F.least(F.lit(N_PSI_BINS - 1),
-                      F.floor(F.col("value") / PSI_BIN_W)).cast("int")
-    hists = (ev.where(F.col("event_type").isin("purchase", "view"))
-             .groupBy(F.col("event_type"), bin_col.alias("b"))
-             .agg(F.count(F.lit(1)).alias("c")).collect())
-    p = [0] * N_PSI_BINS
-    q = [0] * N_PSI_BINS
-    for r in hists:
-        (p if r["event_type"] == "purchase" else q)[r["b"]] = r["c"]
+    p, q = _psi_hists(spark, sf_dir)
     return spark.createDataFrame(
         [(round(psi_from_hists(p, q), 6), round(ks_from_hists(p, q), 6))],
         "psi double, ks double")
@@ -297,9 +298,13 @@ def q_val_evolve_delta(spark, sf_dir):
         "part", F.pmod(F.col("conv_id").cast("int"), F.lit(8)).cast("int"))
     p1 = compile_spec(ConstraintSpec.parse(EVOLVE_V1), df.schema)
     p2 = compile_spec(ConstraintSpec.parse(EVOLVE_V2), df.schema)
-    v1 = ValidationRunner(p1, n_parts=8).run(df).collect_verdicts()
+    r1 = ValidationRunner(p1, n_parts=8).run(df)
+    v1 = r1.collect_verdicts()
+    r1.unpersist()
     sub, diff = delta_plan(p1, p2)
-    dv = ValidationRunner(sub, n_parts=8).run(df).collect_verdicts()
+    r2 = ValidationRunner(sub, n_parts=8).run(df)
+    dv = r2.collect_verdicts()
+    r2.unpersist()
     merged = merge_verdicts(v1, dv, diff)
     rows = [(part, rid, int(n),
              "delta" if rid in diff.delta_rule_ids else "carried")
@@ -468,16 +473,7 @@ def q_drift_ks(spark, sf_dir):
     bins) — engine histogram agg + driver KS vs a SQL window-ECDF oracle."""
     from owl2jsonschema_js_spark.drift import ks_from_hists
 
-    ev = _t(spark, sf_dir, "events")
-    bin_col = F.least(F.lit(N_PSI_BINS - 1),
-                      F.floor(F.col("value") / PSI_BIN_W)).cast("int")
-    hists = (ev.where(F.col("event_type").isin("purchase", "view"))
-             .groupBy("event_type", bin_col.alias("b"))
-             .agg(F.count(F.lit(1)).alias("c")).collect())
-    p = [0] * N_PSI_BINS
-    q = [0] * N_PSI_BINS
-    for r in hists:
-        (p if r["event_type"] == "purchase" else q)[r["b"]] = r["c"]
+    p, q = _psi_hists(spark, sf_dir)
     ks = round(ks_from_hists(p, q), 6)
     return spark.createDataFrame([(ks,)], "ks double")
 
@@ -910,7 +906,11 @@ def q_transcripts_validate(spark, sf_dir):
         "part", F.pmod(F.substring("conv_id", 6, 8).cast("int"), F.lit(16)))
     plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
     res = ValidationRunner(plan, n_parts=16).run(df, catalog=tool_catalog_spark(spark))
-    return res.verdicts
+    # verdicts are tiny (parts x rules): checkpoint them so the cascade's
+    # O(rows) key-count cache is released before the query returns
+    out = res.verdicts.localCheckpoint(eager=True)
+    res.unpersist()
+    return out
 
 
 def q_minhash_lsh_dups(spark, sf_dir):

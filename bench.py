@@ -114,6 +114,10 @@ def run_flagship(spark: SparkSession, n_turns: int) -> float:
             res = runner.run(df, catalog=tool_catalog_spark(spark))
             _force(res.verdicts)
             times.append(time.perf_counter() - t0)
+            # the full-mode cascade persists an O(rows) key-count table per
+            # run — release it so repeats (and the suite after) aren't
+            # squeezed by accumulated cache
+            res.unpersist()
         return min(times)
     finally:
         # ~350 MB of generated parquet per 8M-turn run; repeated bench/scaling

@@ -222,20 +222,28 @@ def minhash_lsh_pairs(
     # branch. At cluster scale this intermediate would be checkpointed to a
     # signatures table instead (minhash_features is that table's generator).
     feat = minhash_features(docs, n_hashes, shingle_k, id_col, text_col).persist()
-    banded = _banded(feat, n_hashes, bands)
+    cands = _candidate_pairs(_banded(feat, n_hashes, bands), max_bucket)
+    return _verify_jaccard(cands, feat.select("id", "grams"), threshold)
 
+
+def _candidate_pairs(banded: DataFrame, max_bucket: int,
+                     extra_pred=None) -> DataFrame:
+    """Bucket-capped same-bucket self-join -> deduped (a_id, b_id) candidate
+    pairs — the ONE pair-generating stage, shared by the batch and
+    incremental lanes (``extra_pred(a, b)`` adds the incremental lane's
+    >=1-new-side restriction to the join condition itself)."""
     bucket_sizes = banded.groupBy("band_no", "bucket").agg(F.count(F.lit(1)).alias("bc"))
     small = banded.join(bucket_sizes.where(F.col("bc") <= max_bucket),
                         on=["band_no", "bucket"])
     a, b_ = small.alias("a"), small.alias("b")
-    cands = (
-        a.join(b_, (F.col("a.band_no") == F.col("b.band_no"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    return _verify_jaccard(cands, feat.select("id", "grams"), threshold)
+    cond = ((F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")))
+    if extra_pred is not None:
+        cond = cond & extra_pred(a, b_)
+    return (a.join(b_, cond)
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"]))
 
 
 def minhash_lsh_pairs_incremental(
@@ -267,6 +275,14 @@ def minhash_lsh_pairs_incremental(
     least one new id per pair; new_index = old index ∪ new features, ready
     to store for the next increment.
 
+    Replay idempotency: increment rows whose id ALREADY exists in the index
+    are dropped (id-width left_anti) before anything else — a re-delivered
+    batch (the foreachBatch crash-replay case) or a re-crawled id neither
+    duplicates index rows (which would multiply verified pair rows on every
+    later run) nor re-emits its pairs. Ids are therefore assumed
+    content-stable; changed content under a reused id needs an explicit
+    delete+reinsert.
+
     Cache posture (the at-scale constraint drives it): only the INCREMENT's
     features are persisted — the old-index side is re-scanned per consumer,
     because at 100 TB the index is a stored table you cannot cache and
@@ -279,27 +295,19 @@ def minhash_lsh_pairs_incremental(
     if new_feat is None:
         new_feat = minhash_features(new_docs, n_hashes, shingle_k,
                                     id_col, text_col).persist()
+        # NOTE: this internal persist has no release handle; pass new_feat
+        # yourself (see docstring) in long-lived sessions.
+    # replay idempotency: already-indexed ids contribute nothing new
+    fresh = new_feat.select("id", "grams", "sig").join(
+        index.select("id"), "id", "left_anti")
     all_feat = (index.select("id", "grams", "sig")
                 .withColumn("is_new", F.lit(False))
-                .unionByName(new_feat.select("id", "grams", "sig")
-                             .withColumn("is_new", F.lit(True))))
-    banded = _banded(all_feat, n_hashes, bands, carry=("is_new",))
-
-    bucket_sizes = banded.groupBy("band_no", "bucket").agg(F.count(F.lit(1)).alias("bc"))
-    small = banded.join(bucket_sizes.where(F.col("bc") <= max_bucket),
-                        on=["band_no", "bucket"])
-    a, b_ = small.alias("a"), small.alias("b")
-    cands = (
-        a.join(b_, (F.col("a.band_no") == F.col("b.band_no"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.id") < F.col("b.id"))
-               & (F.col("a.is_new") | F.col("b.is_new")))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
+                .unionByName(fresh.withColumn("is_new", F.lit(True))))
+    cands = _candidate_pairs(
+        _banded(all_feat, n_hashes, bands, carry=("is_new",)), max_bucket,
+        extra_pred=lambda a, b: F.col("a.is_new") | F.col("b.is_new"))
     pairs = _verify_jaccard(cands, all_feat.select("id", "grams"), threshold)
-    new_index = (index.select("id", "grams", "sig")
-                 .unionByName(new_feat.select("id", "grams", "sig")))
+    new_index = index.select("id", "grams", "sig").unionByName(fresh)
     return pairs, new_index
 
 
@@ -371,8 +379,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
         # action that fills the persist. Monotone non-increasing labels make
         # the exact sum a fixed-point witness; the first checked round only
         # records its sum (nothing to compare against yet).
+        checked = it >= defer_checks
         cur_sum = None
-        if it >= defer_checks:
+        if checked:
+            # SQL sum over zero rows is NULL — an EMPTY label table (no pairs
+            # at all) is trivially a fixpoint, so None must converge too, not
+            # loop to max_iter over empty frames
             cur_sum = new.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).first()["s"]
@@ -384,8 +396,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
             new.unpersist()
             new = cp
         labels = new
-        if cur_sum is not None:
-            if prev_sum is not None and cur_sum == prev_sum:
+        if checked:
+            if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
                 break
             prev_sum = cur_sum
     edges.unpersist()

@@ -23,8 +23,6 @@ a table.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,31 +45,42 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
     from owl2jsonschema_js_spark.operators.dedup import (
         minhash_features, minhash_lsh_pairs_incremental)
 
+    from pyspark.errors import AnalysisException
+
+    def _load_index(spark):
+        """Read the index table, or None before the first append. Probed by
+        READING, not driver-local os.path.exists — the index lives wherever
+        Spark's filesystem does (s3a/hdfs/file), and a local-path check would
+        silently disable cross-batch dedup on any remote FS."""
+        try:
+            return spark.read.parquet(index_path)
+        except AnalysisException:
+            return None
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # sign the batch ONCE, own the cache: the same persisted features
         # drive the pair kernel (via new_feat=) and the index append, and are
-        # released here — no kernel-internal cache survives the batch.
+        # released here — no kernel-internal cache survives the batch (the
+        # first batch runs the SAME kernel against an empty index: its pairs
+        # are exactly the batch-internal new-new side).
         new_feat = minhash_features(batch_df, n_hashes, shingle_k,
                                     id_col, text_col).persist()
-        if os.path.exists(index_path):
-            index = spark.read.parquet(index_path)
-            pairs, _ = minhash_lsh_pairs_incremental(
-                batch_df, index, n_hashes=n_hashes, bands=bands,
-                shingle_k=shingle_k, threshold=threshold,
-                max_bucket=max_bucket, id_col=id_col, text_col=text_col,
-                new_feat=new_feat)
-        else:
-            # first batch: no corpus yet — batch-internal pairs only
-            from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
-            pairs = minhash_lsh_pairs(
-                batch_df, n_hashes=n_hashes, bands=bands, shingle_k=shingle_k,
-                threshold=threshold, max_bucket=max_bucket,
-                id_col=id_col, text_col=text_col)
+        index = _load_index(spark)
+        if index is None:
+            index = spark.createDataFrame(
+                [], "id long, grams array<bigint>, sig array<bigint>")
+        pairs, _ = minhash_lsh_pairs_incremental(
+            batch_df, index, n_hashes=n_hashes, bands=bands,
+            shingle_k=shingle_k, threshold=threshold,
+            max_bucket=max_bucket, id_col=id_col, text_col=text_col,
+            new_feat=new_feat)
         (pairs.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(pairs_path))
         # append AFTER the pair write so this batch never pairs against itself
-        # twice (in-batch pairs come from the kernel's new-new side)
+        # twice (in-batch pairs come from the kernel's new-new side); the
+        # kernel's id-level anti-join makes a replayed append a no-op for
+        # later batches' pair generation
         new_feat.write.mode("append").parquet(index_path)
         new_feat.unpersist()
 

@@ -101,3 +101,28 @@ def test_streaming_dedup_monitor_accumulates_index(spark, tmp_path):
     idx = spark.read.parquet(index_path)
     assert idx.count() == minhash_features(docs).count()
     assert n_batches >= 1
+
+
+def test_incremental_replay_is_idempotent(spark, docs):
+    """A re-delivered batch (foreachBatch crash-replay) or re-crawled id must
+    neither duplicate index rows nor re-emit pairs: already-indexed ids are
+    anti-joined out before anything else."""
+    idx = minhash_features(docs)  # everything already indexed
+    pairs, new_index = minhash_lsh_pairs_incremental(
+        docs.limit(50), idx, threshold=0.7)
+    assert pairs.count() == 0
+    assert new_index.count() == idx.count()
+
+
+def test_dup_clusters_empty_pairs_converges_immediately(spark):
+    """Regression (round-3 self-review): sum() over an empty label table is
+    NULL — the convergence check must treat that as a fixpoint, not loop to
+    max_iter over empty frames."""
+    from owl2jsonschema_js_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    stats = {}
+    res = dup_clusters(pairs, max_iter=20, stats=stats)
+    assert res.count() == 0
+    res.unpersist()
+    assert stats["rounds"] <= 2, stats
