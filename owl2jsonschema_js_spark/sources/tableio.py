@@ -50,8 +50,15 @@ class TableIO:
         parquet."""
         if self.fmt != "auto":
             return self.fmt
-        if "/" not in self.path_or_table and iceberg_available(self.spark):
-            return "iceberg"
+        if "/" not in self.path_or_table:
+            if iceberg_available(self.spark):
+                return "iceberg"
+            # catalog identifier without the Iceberg runtime: a session-catalog
+            # table (e.g. the bucketed repeated-run lane from write_bucketed —
+            # reading its files directly would drop the bucketing spec and
+            # silently reintroduce the shuffles the lane exists to elide)
+            if self.spark.catalog.tableExists(self.path_or_table):
+                return "table"
         import os
 
         path = self.path_or_table
@@ -81,11 +88,18 @@ class TableIO:
         return "parquet"
 
     def snapshot_id(self) -> str:
-        if self._resolved_fmt() == "iceberg":
+        fmt = self._resolved_fmt()
+        if fmt == "iceberg":
             row = self.spark.sql(
                 f"SELECT snapshot_id FROM {self.path_or_table}.snapshots "
                 "ORDER BY committed_at DESC LIMIT 1").first()
             return str(row["snapshot_id"]) if row else "empty"
+        if fmt == "table":
+            # content-hash of the table's file listing, same contract as the
+            # plain-parquet emulation (resume keys stay stable across layouts)
+            loc = (self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.path_or_table}")
+                   .where("col_name = 'Location'").first()["data_type"])
+            return parquet_snapshot_id(loc.removeprefix("file:"))
         return parquet_snapshot_id(self.path_or_table)
 
     def read(self, snapshot_id: str | None = None) -> DataFrame:
@@ -95,6 +109,8 @@ class TableIO:
             if snapshot_id:
                 r = r.option("snapshot-id", snapshot_id)
             return r.load(self.path_or_table)
+        if fmt == "table":
+            return self.spark.table(self.path_or_table)
         reader = self.spark.read
         if fmt == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")

@@ -172,3 +172,26 @@ def test_streaming_drift_monitor_flags_shift(spark, fixture60, tmp_path):
         reports = [json.loads(ln) for ln in open(out)]
         assert reports, name
         assert any(r["drifted"] for r in reports) == expect, (name, reports)
+
+
+def test_tableio_dispatches_catalog_table_preserving_buckets(spark, fixture60, tmp_path):
+    """A catalog identifier (no Iceberg runtime) resolves to the session
+    catalog — the bucketed repeated-run lane stays bucketed when read through
+    TableIO (a raw parquet read of the same files would drop the bucket spec),
+    and the snapshot id contract matches the parquet emulation's."""
+    from owl2jsonschema_js_spark.plans import count_exchanges
+    from owl2jsonschema_js_spark.sources.tableio import write_bucketed
+
+    df = fixture60.to_spark(spark)
+    write_bucketed(df, "tio_bucketed", n_buckets=4,
+                   path=str(tmp_path / "tio_b"))
+    try:
+        tio = TableIO(spark, "tio_bucketed")
+        assert tio._resolved_fmt() == "table"
+        got = tio.read()
+        assert got.count() == df.count()
+        assert count_exchanges(got.groupBy("conv_id", "turn_idx").count()) == 0
+        sid = tio.snapshot_id()
+        assert sid and sid != "empty" and len(sid) >= 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tio_bucketed")
