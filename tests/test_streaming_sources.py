@@ -195,3 +195,71 @@ def test_tableio_dispatches_catalog_table_preserving_buckets(spark, fixture60, t
         assert sid and sid != "empty" and len(sid) >= 8
     finally:
         spark.sql("DROP TABLE IF EXISTS tio_bucketed")
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The documented late-data policy, exercised for real across micro-batches
+    (maxFilesPerTrigger=1, append mode). Nuance pinned here: Spark filters late
+    events against the PREVIOUS batch's watermark (watermarkForLateEvents,
+    SPARK-24634 semantics) while eviction uses the current one — so the late
+    row must arrive two batches after the watermark-advancing row to be
+    dropped. Batch 1 advances the watermark past the 12:00 window's end,
+    batch 2 establishes it for the late filter, batch 3 replays a LATE row
+    into the closed window — it must be dropped (numRowsDroppedByWatermark),
+    not re-aggregated (complete-mode tests can never see this: no eviction)."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import time
+
+    from owl2jsonschema_js_spark.streaming.validate_stream import windowed_role_counts
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def write(name, rows):
+        d = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(
+            [(c, i, r, t, tool, datetime.datetime.fromisoformat(ts))
+             for c, i, r, t, tool, ts in rows], schema).coalesce(1).write.parquet(d)
+        part = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+        time.sleep(1.1)  # distinct mtime => deterministic file (batch) order
+
+    # batch 1: three on-time rows in [12:00, 12:10) + one at 13:00 pushing the
+    # watermark to 12:55 (> window end) so the window finalizes
+    write("b1.parquet", [
+        ("c1", 0, "user", "a", None, "2026-01-01 12:01:00"),
+        ("c1", 1, "assistant", "b", None, "2026-01-01 12:02:00"),
+        ("c1", 2, "user", "c", None, "2026-01-01 12:03:00"),
+        ("c2", 0, "user", "d", None, "2026-01-01 13:00:00"),
+    ])
+    # batch 2: innocuous on-time row — makes 12:55 the PREVIOUS-batch
+    # watermark the late filter consults
+    write("b2.parquet", [("c2", 1, "user", "e", None, "2026-01-01 13:01:00")])
+    # batch 3: the LATE replay aimed at the closed 12:00 window + an advancer
+    write("b3.parquet", [
+        ("c1", 3, "user", "LATE", None, "2026-01-01 12:04:00"),
+        ("c2", 2, "user", "f", None, "2026-01-01 14:00:00"),
+    ])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (windowed_role_counts(stream, window="10 minutes", watermark="5 minutes")
+         .writeStream.format("memory").queryName("wm_counts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    dropped = sum((p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                   if p["stateOperators"] else 0) for p in q.recentProgress)
+    rows = spark.sql("SELECT window.start AS s, conv_id, role, n "
+                     "FROM wm_counts").collect()
+    noon = {(r["conv_id"], r["role"]): r["n"] for r in rows
+            if r["s"].strftime("%H:%M") == "12:00"}
+    # the 12:00 window emitted exactly the on-time rows; the late replay was
+    # dropped by the watermark, not merged or re-emitted
+    assert noon == {("c1", "user"): 2, ("c1", "assistant"): 1}
+    assert dropped == 1
