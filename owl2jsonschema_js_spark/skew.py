@@ -27,6 +27,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> dict:
+    """Measure key skew instead of guessing it: one partial-agg
+    ``groupBy(key).count()`` (hot-key safe — the hot key contributes one
+    partial row per mapper), then an O(keys)-width rollup and a TakeOrdered
+    top-``top_n``. Returns a driver-side dict, O(top_n) size::
+
+        {n_rows, n_keys, max_share, top: [(key, n, share), ...]}
+
+    This is the number the engine's skew decisions should consume: salt width
+    for :func:`salted_group_agg` (see :func:`recommend_salts`), whether a hot
+    conversation makes the bucketed repeated-run lane's one-task-per-
+    conversation trade acceptable (`sources/tableio.py write_bucketed`), and
+    whether ``uniqueness='gated'`` will flag a meaningful subset. SURVEY §4.2
+    mandates choosing salt width "from observed key histograms" — this is the
+    observation."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        tot = counts.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum("n").alias("rows"),
+        ).first()
+        top = counts.orderBy(F.desc("n")).limit(top_n).collect()
+    finally:
+        counts.unpersist()
+    rows = tot["rows"] or 0
+    share = (lambda n: n / rows if rows else 0.0)
+    return {
+        "n_rows": rows,
+        "n_keys": tot["keys"],
+        "max_share": share(top[0]["n"]) if top else 0.0,
+        "top": [(r[key], r["n"], share(r["n"])) for r in top],
+    }
+
+
+def recommend_salts(profile: dict, target_share: float = 1 / 32) -> int:
+    """Salt width so the hottest key's per-reducer slice is ~``target_share``
+    of the table (default: one core's worth on a 32-slot stage). Clean
+    (unskewed) profiles recommend 1 — salting costs a second shuffle phase and
+    should not be paid by default."""
+    import math
+
+    if profile["max_share"] <= target_share:
+        return 1
+    return 2 ** math.ceil(math.log2(profile["max_share"] / target_share))
+
+
 def salted_group_agg(
     df: DataFrame,
     key: str,

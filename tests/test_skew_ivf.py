@@ -173,3 +173,28 @@ def test_ivf_topk_batch_pruned_probes_bound_candidates(spark):
     assert {r["query_id"] for r in rows} == {0, 1}
     assert all(1 <= r["rank"] <= 3 for r in rows)
     assert len(rows) == 6
+
+
+def test_key_skew_profile_measures_planted_hot_conversation(spark, fixture60):
+    """The fixtures plant one conversation holding ~30% of rows; the profile
+    must surface it as max_share, rank it first, and account for every row —
+    and the salt recommendation must spread it to ~1/32-per-reducer slices
+    while a clean (unskewed) profile recommends no salting at all."""
+    from owl2jsonschema_js_spark.skew import key_skew_profile, recommend_salts
+
+    df = fixture60.to_spark(spark)
+    prof = key_skew_profile(df, "conv_id", top_n=5)
+    assert prof["n_rows"] == df.count()
+    assert prof["n_keys"] == df.select("conv_id").distinct().count()
+    assert prof["max_share"] > 0.2, prof["max_share"]
+    top_key, top_n, top_share = prof["top"][0]
+    exact = df.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    assert (top_key, top_n) == (exact["conv_id"], exact["count"])
+    assert abs(top_share - top_n / prof["n_rows"]) < 1e-12
+
+    s = recommend_salts(prof, target_share=1 / 32)
+    assert s >= prof["max_share"] * 32 / 2 and s & (s - 1) == 0  # pow2, enough
+    assert prof["max_share"] / s <= 1 / 32
+
+    clean = {"max_share": 0.01, "n_rows": 1000, "n_keys": 100, "top": []}
+    assert recommend_salts(clean, target_share=1 / 32) == 1
