@@ -156,7 +156,14 @@ def write_bucketed(
     single-conversation skew keep the default shuffled lane — the choice is a
     storage decision, the runner's plan adapts to either automatically.
     """
-    w = (df.write.mode("overwrite").format(fmt)
+    # repartition onto the bucket hash first: without it a bucketed write
+    # emits (input partitions × n_buckets) files (each task writes every
+    # bucket it holds rows for), and the bucketed SCAN — which may not split
+    # or coalesce files — then pays per-file open cost on thousands of
+    # fragments. Spark's repartition and bucket-id hashes agree (both
+    # Murmur3-based HashPartitioning), so this yields ~one file per bucket.
+    w = (df.repartition(n_buckets, bucket_col)
+         .write.mode("overwrite").format(fmt)
          .bucketBy(n_buckets, bucket_col).sortBy(sort_col))
     if path:
         w = w.option("path", path)
