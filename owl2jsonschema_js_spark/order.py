@@ -59,7 +59,10 @@ def turn_gaps(df: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             ts = pd.to_datetime(pdf["ts"])
-            gap = ts.groupby(pdf["conv_id"].values).diff().dt.total_seconds()
+            # .copy() detaches from the .dt accessor's parent so the carry
+            # assignment below is a plain write (under pandas copy-on-write the
+            # chained form would be silently discarded).
+            gap = ts.groupby(pdf["conv_id"].values).diff().dt.total_seconds().copy()
             if carry_conv is not None and pdf["conv_id"].iloc[0] == carry_conv:
                 first = pdf.index[0]
                 gap.loc[first] = (ts.iloc[0] - carry_ts).total_seconds()
