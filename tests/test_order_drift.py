@@ -26,6 +26,35 @@ def test_turn_gaps_scale_path_equals_window_path(spark, fixture60):
             assert abs(a[k] - b[k]) < 1e-6, k
 
 
+def test_turn_gaps_carry_across_arrow_batches(spark, fixture60):
+    """Force Arrow batches small enough that conversations split across
+    batches, so the mapInPandas carry-over (first gap of a continuation batch
+    = diff against the previous batch's last ts) actually executes. Guards
+    the carry write in order.py against pandas copy-on-write discarding it."""
+    df = fixture60.to_spark(spark)
+    want = {(r["conv_id"], r["turn_idx"]): r["gap_s"]
+            for r in turn_gaps_window(df).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {(r["conv_id"], r["turn_idx"]): r["gap_s"]
+               for r in turn_gaps(df).collect()}
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got.keys() == want.keys()
+    n_real = 0
+    for k, w in want.items():
+        if w is None:
+            assert got[k] is None or np.isnan(got[k])
+        else:
+            n_real += 1
+            assert abs(got[k] - w) < 1e-6, k
+    assert n_real > 0
+
+
 def test_stable_order_row_for_row(spark, fixture60):
     """Per-turn text equality under the stable ordering window: ordering the
     same table twice (shuffled input) yields identical (conv, seq, text)."""
