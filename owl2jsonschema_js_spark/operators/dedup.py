@@ -284,22 +284,34 @@ def minhash_lsh_pairs_incremental(
     delete+reinsert.
 
     Cache posture (the at-scale constraint drives it): only the INCREMENT's
-    features are persisted — the old-index side is re-scanned per consumer,
-    because at 100 TB the index is a stored table you cannot cache and
-    should not try to (a per-band bucket table, stored alongside the index,
-    would cut those re-scans further; noted, not needed at this scale).
-    Pass ``new_feat`` (a persisted :func:`minhash_features` frame for the
-    SAME new_docs) to own the cache lifecycle yourself — the streaming
-    monitor does this so each micro-batch releases exactly its own cache."""
+    features are materialized — the old-index side is re-scanned per
+    consumer, because at 100 TB the index is a stored table you cannot cache
+    and should not try to (a per-band bucket table, stored alongside the
+    index, would cut those re-scans further; noted, not needed at this
+    scale). When ``new_feat`` is not supplied, the internally-built fresh
+    features are ``localCheckpoint(eager=True)``'d — increment-sized, one
+    signature pass, lineage truncated, and the blocks are released by the
+    ContextCleaner when the returned frames are garbage-collected, so
+    long-lived sessions accumulate NO session-lifetime cache (the round-3
+    internal ``persist()`` had no release handle and leaked one cached frame
+    per call). Pass ``new_feat`` (a persisted :func:`minhash_features` frame
+    for the SAME new_docs) to own the cache lifecycle yourself — the
+    streaming monitor does this so each micro-batch releases exactly its own
+    cache."""
     assert n_hashes % bands == 0
-    if new_feat is None:
+    own_feat = new_feat is None
+    if own_feat:
         new_feat = minhash_features(new_docs, n_hashes, shingle_k,
-                                    id_col, text_col).persist()
-        # NOTE: this internal persist has no release handle; pass new_feat
-        # yourself (see docstring) in long-lived sessions.
+                                    id_col, text_col)
     # replay idempotency: already-indexed ids contribute nothing new
     fresh = new_feat.select("id", "grams", "sig").join(
         index.select("id"), "id", "left_anti")
+    if own_feat:
+        # materialize the increment ONCE (it feeds the band join, the
+        # verify join and new_index); eager localCheckpoint instead of
+        # persist: same executor-memory residency, but auto-released on GC
+        # rather than leaked until an explicit unpersist nobody owns
+        fresh = fresh.localCheckpoint(eager=True)
     all_feat = (index.select("id", "grams", "sig")
                 .withColumn("is_new", F.lit(False))
                 .unionByName(fresh.withColumn("is_new", F.lit(True))))

@@ -344,7 +344,15 @@ class ValidationRunner:
           4. referential: broadcast left_anti.
 
         Verdict counts never recount exploded violation rows — they aggregate
-        booleans in the same scans that evaluate the rules."""
+        booleans in the same scans that evaluate the rules.
+
+        Eager-scan caveat (the ONE exception to ValidationResult's lazy
+        contract): when the plan declares a referential constraint, run()
+        launches one bounded Spark job at plan-build time — the catalog's
+        distinct keys, LIMIT ``REF_FOLD_MAX + 1`` — to decide fold-vs-anti-
+        join. The collected key set is memoized per catalog DataFrame object,
+        so repeated run() calls with the same catalog (bench loops, streaming
+        foreachBatch) pay the scan once."""
         t = self.plan.table
         df = self._with_partition(df)
 
@@ -364,8 +372,16 @@ class ValidationRunner:
                     "referential constraint declared but no catalog DataFrame given")
             col = ref["column"]
             key = ref.get("key", col)
-            vals = [r[0] for r in catalog.select(F.col(key)).distinct()
-                    .limit(REF_FOLD_MAX + 1).collect()]
+            cached = getattr(self, "_ref_fold_cache", None)
+            if cached is not None and cached[0] is catalog and cached[1] == key:
+                vals = cached[2]
+            else:
+                vals = [r[0] for r in catalog.select(F.col(key)).distinct()
+                        .limit(REF_FOLD_MAX + 1).collect()]
+                # memoized per catalog OBJECT (held strongly, so id-reuse
+                # can't alias a different frame); a new/changed catalog
+                # naturally misses and re-collects
+                self._ref_fold_cache = (catalog, key, vals)
             if len(vals) <= REF_FOLD_MAX:
                 c = F.col(col)
                 ok = c.isNull() if not vals else (c.isNull() | c.isin(vals))

@@ -97,9 +97,17 @@ class TableIO:
         if fmt == "table":
             # content-hash of the table's file listing, same contract as the
             # plain-parquet emulation (resume keys stay stable across layouts)
-            loc = (self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.path_or_table}")
-                   .where("col_name = 'Location'").first()["data_type"])
-            return parquet_snapshot_id(loc.removeprefix("file:"))
+            row = (self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.path_or_table}")
+                   .where("col_name = 'Location'").first())
+            if row is None or not row["data_type"]:
+                # catalog.tableExists also matches temp views, which have no
+                # Location and therefore no file listing to hash
+                raise ValueError(
+                    f"snapshot ids require a location-backed table; "
+                    f"{self.path_or_table!r} resolves to a view or "
+                    "location-less catalog entry (read() still works — only "
+                    "checkpoint/resume needs a snapshot id)")
+            return parquet_snapshot_id(row["data_type"].removeprefix("file:"))
         return parquet_snapshot_id(self.path_or_table)
 
     def read(self, snapshot_id: str | None = None) -> DataFrame:

@@ -37,11 +37,18 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
     the incremental pair kernel, append (batch_id, a_id, b_id, jaccard) to
     ``pairs_path`` and the batch's signatures to ``index_path``.
 
-    Returns an attach(stream_df) factory; call ``.start()`` on the result.
-    Exactly-once caveat (documented, standard foreachBatch semantics): a
-    batch replayed after a crash between the two appends could duplicate
-    rows; at cluster scale both appends become idempotent Iceberg
-    MERGE/overwrite-by-batch-id commits."""
+    Returns an attach(stream_df) factory; call ``.start()`` on the result
+    (the per-batch kernel is exposed as ``attach.write_batch`` for direct
+    testing). Replay idempotency: the INDEX append is id-anti-joined against
+    the stored index, so a batch replayed after a crash that followed both
+    appends (or a re-delivered/re-crawled id) appends nothing — duplicated
+    (id, grams, sig) rows would otherwise fan out the verify-join's grams
+    side and multiply emitted pair rows for those ids in every later batch.
+    Remaining exactly-once caveat (documented, standard foreachBatch
+    semantics): a replay after the PAIRS append but before the index append
+    duplicates pair rows for that one batch_id — pairs carry batch_id
+    precisely so downstream consumers can dedup on it; at cluster scale both
+    appends become idempotent Iceberg MERGE/overwrite-by-batch-id commits."""
     from owl2jsonschema_js_spark.operators.dedup import (
         minhash_features, minhash_lsh_pairs_incremental)
 
@@ -78,10 +85,14 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
         (pairs.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(pairs_path))
         # append AFTER the pair write so this batch never pairs against itself
-        # twice (in-batch pairs come from the kernel's new-new side); the
-        # kernel's id-level anti-join makes a replayed append a no-op for
-        # later batches' pair generation
-        new_feat.write.mode("append").parquet(index_path)
+        # twice (in-batch pairs come from the kernel's new-new side), and
+        # append only rows ABSENT from the stored index — the same id-level
+        # anti-join the kernel applies. Writing the unfiltered new_feat would
+        # let a crash-replay (or a re-delivered id) stack duplicate
+        # (id, grams, sig) rows into the index, fanning out the verify-join's
+        # grams side for those ids in every later batch.
+        fresh = new_feat.join(index.select("id"), "id", "left_anti")
+        fresh.write.mode("append").parquet(index_path)
         new_feat.unpersist()
 
     def attach(stream_df: DataFrame):
@@ -90,4 +101,5 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
                 .option("checkpointLocation", checkpoint_dir)
                 .trigger(availableNow=True))
 
+    attach.write_batch = write_batch  # direct handle for replay testing
     return attach

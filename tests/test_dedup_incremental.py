@@ -114,6 +114,52 @@ def test_incremental_replay_is_idempotent(spark, docs):
     assert new_index.count() == idx.count()
 
 
+def test_incremental_default_path_leaves_no_session_cache(spark, docs):
+    """Round-4 leak fix (ADVICE r3): calling the kernel WITHOUT new_feat must
+    not leave a persisted frame behind — the internal increment
+    materialization is an eager localCheckpoint (ContextCleaner-released on
+    GC), never a session-lifetime DataFrame persist."""
+    spark.catalog.clearCache()
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    pairs, new_index = minhash_lsh_pairs_incremental(
+        new, minhash_features(old), threshold=0.7)
+    assert pairs.count() > 0
+    assert new_index.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), \
+        "kernel registered a DataFrame persist with no release handle"
+
+
+def test_monitor_replayed_batch_does_not_duplicate_index(spark, tmp_path, docs):
+    """Round-4 fix (ADVICE r3 medium): a foreachBatch replay after both
+    appends must not stack duplicate (id, grams, sig) rows into the stored
+    index — duplicated gram rows would fan out the verify join and multiply
+    emitted pairs for those ids in every later batch."""
+    from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    attach = dedup_monitor(index_path, pairs_path,
+                           str(tmp_path / "ckpt"), threshold=0.7)
+    attach.write_batch(half, 0)
+    n_idx = spark.read.parquet(index_path).count()
+    attach.write_batch(half, 0)  # crash-replay of the same batch
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == n_idx, "replayed batch duplicated index rows"
+    assert idx.groupBy("id").count().where("count > 1").count() == 0
+
+    # later batch still emits the correct cross-batch pairs, exactly once
+    attach.write_batch(rest, 1)
+    got = _pairset(spark.read.parquet(pairs_path)
+                   .where(F.col("batch_id") == 1))
+    full = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    expected = {p: j for p, j in full.items()
+                if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert got == expected
+
+
 def test_dup_clusters_empty_pairs_converges_immediately(spark):
     """Regression (round-3 self-review): sum() over an empty label table is
     NULL — the convergence check must treat that as a fixpoint, not loop to

@@ -140,3 +140,32 @@ def test_uniqueness_strategies_agree(spark, fixture60):
     assert full_d == gated_d
     # the fixture really injects duplicates (the gate has something to find)
     assert any(r[1] == "table.unique" for r in full_v)
+
+
+def test_referential_fold_memoized_per_catalog(spark, fixture60):
+    """Round-4 (ADVICE r3): run()'s eager catalog key-set scan is memoized per
+    catalog DataFrame object — repeated run() calls with the same catalog must
+    not re-collect it."""
+    df = fixture60.to_spark(spark)
+    catalog = fixture60.catalog_spark(spark)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    runner = ValidationRunner(plan, n_parts=4)
+
+    calls = {"n": 0}
+    orig_select = catalog.select
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig_select(*a, **k)
+
+    catalog.select = spy
+    r1 = runner.run(df, catalog=catalog)
+    assert calls["n"] == 1
+    r2 = runner.run(df, catalog=catalog)
+    assert calls["n"] == 1, "second run() re-collected the catalog"
+    assert r1.violations.count() == r2.violations.count()
+    del catalog.select  # restore the method for other consumers
+    # a DIFFERENT catalog object misses the memo and is scanned fresh
+    cat2 = fixture60.catalog_spark(spark)
+    runner.run(df, catalog=cat2)
+    assert runner._ref_fold_cache[0] is cat2

@@ -263,3 +263,19 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # dropped by the watermark, not merged or re-emitted
     assert noon == {("c1", "user"): 2, ("c1", "assistant"): 1}
     assert dropped == 1
+
+
+def test_tableio_snapshot_id_rejects_views(spark, fixture60):
+    """Round-4 guard (ADVICE r3): catalog.tableExists also matches temp views,
+    which have no Location row — snapshot_id must raise a clear ValueError,
+    not AttributeError on a missing DESCRIBE row."""
+    import pytest
+
+    from owl2jsonschema_js_spark.sources.tableio import TableIO
+
+    fixture60.to_spark(spark).createOrReplaceTempView("tio_view_guard")
+    tio = TableIO(spark, "tio_view_guard")
+    assert tio.read().count() > 0  # reading a view is fine
+    with pytest.raises(ValueError, match="location-backed"):
+        tio.snapshot_id()
+    spark.catalog.dropTempView("tio_view_guard")
