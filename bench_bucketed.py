@@ -71,8 +71,12 @@ def main() -> None:
             ConstraintSpec.parse(transcript_constraints()), pdf.schema)
 
         t0 = time.perf_counter()
+        # on_hot='ignore': this bench exists to measure BOTH sides of the
+        # trade the guard enforces, including the hot-30% corpus the guard
+        # would (correctly) warn about
         write_bucketed(pdf, "bench_bucketed_" + label, n_buckets=N_BUCKETS,
-                       path=os.path.join(base, label + "_bucketed"))
+                       path=os.path.join(base, label + "_bucketed"),
+                       on_hot="ignore")
         ingest = time.perf_counter() - t0
         bdf = read_bucketed(spark, "bench_bucketed_" + label)
 

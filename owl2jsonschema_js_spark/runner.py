@@ -47,6 +47,15 @@ VIOLATION_COLUMNS = ("part", "rule_id", "conv_id", "turn_idx", "observed", "sche
 # the 8M-turn flagship.
 REF_FOLD_MAX = 10_000
 
+# full-vs-gated uniqueness crossover for uniqueness='auto' with a measured
+# skew profile: below this row count the full-key shuffle is cheaper than the
+# gate's extra grouped persist (measured: 14.0s full vs 19.6s gated at 80M
+# turns on local[32], where the whole shuffle rides the page cache); far above
+# it the full-key shuffle is network+disk bytes proportional to the table
+# (~24 TB at 10^12 rows, SCALE.md) while the gate's cost stays one conv-width
+# aggregate. 200M ≈ 2.5x the largest scale where 'full' was measured to win.
+AUTO_GATED_MIN_ROWS = 200_000_000
+
 
 def _safe(rule_id: str) -> str:
     return "ok__" + rule_id.replace(".", "_").replace("$", "doc")
@@ -108,12 +117,26 @@ class ValidationRunner:
         key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
         n_parts: int = 16,
         uniqueness: str = "full",
+        skew_profile: dict | None = None,
     ):
         """``uniqueness``: 'full' (default) always runs the full-key groupBy;
         'gated' restricts it to conversations the (already-paid) group agg
         flags as containing duplicates (count != countDistinct); 'auto' =
         gated when the group agg runs on the same key, else full. Outputs are
         identical across strategies (proven in tests/test_runner_e2e.py).
+
+        ``skew_profile`` (a stored :func:`~owl2jsonschema_js_spark.skew.
+        key_skew_profile` of the conversation key) makes 'auto' a MEASURED
+        decision instead of a structural one: gated is chosen only when the
+        profile's observed row count clears ``AUTO_GATED_MIN_ROWS`` — the
+        documented crossover where the gate's extra conv-width pass starts
+        paying for the table-wide key shuffle it deletes. The profile's
+        ``max_share`` deliberately does NOT flip this choice: both lanes are
+        hot-conversation-safe by construction (the full-key groupBy spreads a
+        hot conv_id by turn_idx; the gate's conv aggregate partial-aggregates
+        before the conv-width reduce), so conversation skew is handled by key
+        shape here, not by strategy selection. The strategy actually executed
+        is recorded on ``self.last_uniqueness`` by :meth:`run`.
 
         Which to use is a scale question, measured both ways: at single-box
         bench scale the page-cached 80M-key shuffle costs less than the gate's
@@ -129,6 +152,8 @@ class ValidationRunner:
         self.key_cols = key_cols
         self.n_parts = n_parts
         self.uniqueness = uniqueness
+        self.skew_profile = skew_profile
+        self.last_uniqueness: str | None = None
 
     # ------------------------------------------------------------------ rows
     def _with_partition(self, df: DataFrame) -> DataFrame:
@@ -403,8 +428,15 @@ class ValidationRunner:
 
         gk = t.group_key or t.contiguous or self.key_cols[0]
         gate_ok = want_group and gk == self.key_cols[0]
-        use_gated = (self.uniqueness == "gated"
-                     or (self.uniqueness == "auto" and gate_ok))
+        if self.uniqueness == "auto" and self.skew_profile is not None:
+            # measured decision: the gate pays only past the documented
+            # crossover row count (see AUTO_GATED_MIN_ROWS / __init__ doc)
+            use_gated = (gate_ok and
+                         self.skew_profile["n_rows"] >= AUTO_GATED_MIN_ROWS)
+        else:
+            use_gated = (self.uniqueness == "gated"
+                         or (self.uniqueness == "auto" and gate_ok))
+        self.last_uniqueness = "gated" if use_gated else "full"
         # full-mode CASCADE: the conversation aggregate rolls up from the
         # per-(conv, turn) key counts — ONE key-width partial-agg shuffle
         # instead of a countDistinct-expanded conv shuffle (and when

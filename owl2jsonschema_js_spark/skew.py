@@ -78,19 +78,38 @@ def salted_group_agg(
     key: str,
     partial_aggs: list[Column],
     merge_aggs: list[Column],
-    n_salts: int = 16,
+    n_salts: int | str = 16,
     salt_from: str | None = None,
+    profile: dict | None = None,
+    target_share: float = 1 / 32,
 ) -> DataFrame:
     """Two-phase agg: groupBy(key, salt) -> partials; groupBy(key) -> merged.
 
     `partial_aggs` run within (key, salt); `merge_aggs` combine the partial
     columns per key. Salt derives from `salt_from` (a column whose values
     spread within the hot key, e.g. turn_idx) or a hash of the whole row
-    position via monotonically_increasing_id."""
+    position via monotonically_increasing_id.
+
+    ``n_salts='auto'`` closes SURVEY §4.2's observe->decide loop: the width
+    comes from :func:`recommend_salts` over ``profile`` (pass a stored
+    :func:`key_skew_profile` to reuse an ingest-time measurement) or, when no
+    profile is given, from one key-width measuring scan of ``df`` itself.
+    Clean profiles resolve to width 1 — the plan degrades to a plain two-level
+    rollup and the second phase is a near-no-op, so auto never pays salting
+    the data didn't ask for. Outputs are identical for every width (the merge
+    is algebraic); the decided width is recorded on the returned DataFrame as
+    ``salt_width`` for observability and tests."""
+    if n_salts == "auto":
+        n_salts = recommend_salts(profile or key_skew_profile(df, key),
+                                  target_share)
+    elif not isinstance(n_salts, int):
+        raise ValueError(f"n_salts must be an int or 'auto', got {n_salts!r}")
     salt_src = F.col(salt_from) if salt_from else F.monotonically_increasing_id()
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
     partial = salted.groupBy(key, "__salt").agg(*partial_aggs)
-    return partial.groupBy(key).agg(*merge_aggs)
+    out = partial.groupBy(key).agg(*merge_aggs)
+    out.salt_width = n_salts
+    return out
 
 
 def grouped_map_sorted(

@@ -142,6 +142,9 @@ def write_bucketed(
     sort_col: str = "turn_idx",
     path: str | None = None,
     fmt: str = "parquet",
+    profile: dict | None = None,
+    max_hot_share: float = 0.10,
+    on_hot: str = "warn",
 ) -> None:
     """Materialize the transcripts table BUCKETED by the conversation key.
 
@@ -163,7 +166,41 @@ def write_bucketed(
     runs over mildly-skewed data (zero shuffle × k runs); under pathological
     single-conversation skew keep the default shuffled lane — the choice is a
     storage decision, the runner's plan adapts to either automatically.
+
+    That caveat is now ENFORCED, not just documented (SURVEY §4.2,
+    observe->decide): before writing, the bucket key's skew is measured with
+    :func:`~owl2jsonschema_js_spark.skew.key_skew_profile` (one key-width
+    scan — marginal next to the full-row shuffle+write this function pays
+    anyway; pass a stored ``profile`` to skip it). A hot key whose share
+    exceeds ``max_hot_share`` triggers ``on_hot``: ``'warn'`` (default —
+    UserWarning naming the key, its share, and the measured 0.41x per-run
+    regression bench_bucketed.py recorded at share 0.30), ``'raise'``
+    (ValueError, for pipelines that would rather fail ingest than ship a
+    straggler layout), or ``'ignore'`` (deliberate override, e.g. the bench
+    measuring both sides of the trade). The 0.10 default sits between the
+    measured-good uniform corpus (1.28x faster/run) and the measured-bad
+    hot-30% corpus (0.41x), ~3x the ideal 1/32 bucket share.
     """
+    if on_hot not in ("warn", "raise", "ignore"):
+        raise ValueError(f"on_hot must be 'warn'|'raise'|'ignore', got {on_hot!r}")
+    if on_hot != "ignore":
+        from owl2jsonschema_js_spark.skew import key_skew_profile
+
+        prof = profile or key_skew_profile(df, bucket_col, top_n=1)
+        if prof["max_share"] > max_hot_share:
+            hot_key, hot_n, hot_share = prof["top"][0]
+            msg = (
+                f"bucketing {table!r} by {bucket_col!r} concentrates hot key "
+                f"{hot_key!r} ({hot_n:,} rows, {hot_share:.1%} of the table, "
+                f"> max_hot_share={max_hot_share:.0%}) into one task per run; "
+                "bench_bucketed.py measured 0.41x per-run at share 0.30 — "
+                "keep the shuffled lane for this corpus, or pass "
+                "on_hot='ignore' to accept the straggler")
+            if on_hot == "raise":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, UserWarning, stacklevel=2)
     # repartition onto the bucket hash first: without it a bucketed write
     # emits (input partitions × n_buckets) files (each task writes every
     # bucket it holds rows for), and the bucketed SCAN — which may not split

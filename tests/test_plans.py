@@ -198,7 +198,7 @@ def test_bucketed_scan_elides_both_validation_shuffles(spark, fixture60, tmp_pat
     plain = str(tmp_path / "plain")
     sdf.write.parquet(plain)
     write_bucketed(sdf, "transcripts_b", n_buckets=4,
-                   path=str(tmp_path / "bucketed"))
+                   path=str(tmp_path / "bucketed"), on_hot="ignore")
     try:
         bucketed = read_bucketed(spark, "transcripts_b")
         flat = spark.read.parquet(plain)
@@ -224,7 +224,7 @@ def test_bucketed_validation_matches_plain_lane(spark, fixture60, tmp_path):
 
     sdf = fixture60.to_spark(spark)
     write_bucketed(sdf, "transcripts_b2", n_buckets=4,
-                   path=str(tmp_path / "bucketed2"))
+                   path=str(tmp_path / "bucketed2"), on_hot="ignore")
     try:
         plan = compile_spec(
             ConstraintSpec.parse(transcript_constraints()), sdf.schema)

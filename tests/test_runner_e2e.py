@@ -169,3 +169,40 @@ def test_referential_fold_memoized_per_catalog(spark, fixture60):
     cat2 = fixture60.catalog_spark(spark)
     runner.run(df, catalog=cat2)
     assert runner._ref_fold_cache[0] is cat2
+
+
+def test_uniqueness_auto_consults_measured_profile(spark, fixture60):
+    """Round-4 (SURVEY §4.2): with a measured skew profile, uniqueness='auto'
+    is a row-count decision against the documented full/gated crossover —
+    small corpus -> full (the shuffle is cheaper than the gate), corpus past
+    AUTO_GATED_MIN_ROWS -> gated — with identical outputs either way."""
+    from owl2jsonschema_js_spark.runner import AUTO_GATED_MIN_ROWS
+    from owl2jsonschema_js_spark.skew import key_skew_profile
+
+    df = fixture60.to_spark(spark)
+    catalog = fixture60.catalog_spark(spark)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+
+    def run_with(profile):
+        runner = ValidationRunner(plan, n_parts=4, uniqueness="auto",
+                                  skew_profile=profile)
+        res = runner.run(df, catalog=catalog)
+        out = sorted(map(tuple, res.violations.collect()))
+        res.unpersist()
+        return runner.last_uniqueness, out
+
+    small_prof = key_skew_profile(df, "conv_id")
+    assert small_prof["n_rows"] < AUTO_GATED_MIN_ROWS
+    strat_small, v_small = run_with(small_prof)
+    assert strat_small == "full"
+
+    big_prof = dict(small_prof, n_rows=10**12)
+    strat_big, v_big = run_with(big_prof)
+    assert strat_big == "gated"
+    assert v_small == v_big
+
+    # no profile: 'auto' keeps its structural round-3 meaning (gated when the
+    # conversation agg already runs on the same key)
+    strat_none, v_none = run_with(None)
+    assert strat_none == "gated"
+    assert v_none == v_small

@@ -198,3 +198,96 @@ def test_key_skew_profile_measures_planted_hot_conversation(spark, fixture60):
 
     clean = {"max_share": 0.01, "n_rows": 1000, "n_keys": 100, "top": []}
     assert recommend_salts(clean, target_share=1 / 32) == 1
+
+
+def test_salted_auto_width_from_measured_profile(spark, fixture60):
+    """Round-4 (SURVEY §4.2 observe->decide): n_salts='auto' resolves the salt
+    width from the MEASURED key histogram — >1 on the planted-hot fixture,
+    exactly 1 on clean data — and the merged outputs are byte-identical to the
+    plain aggregate at every width."""
+    from owl2jsonschema_js_spark.skew import key_skew_profile, salted_group_agg
+
+    df = fixture60.to_spark(spark)
+    plain = {r["conv_id"]: (r["n"], r["mx"]) for r in
+             df.groupBy("conv_id").agg(F.count("*").alias("n"),
+                                       F.max("turn_idx").alias("mx")).collect()}
+
+    def run_auto(frame, profile=None):
+        out = salted_group_agg(
+            frame, "conv_id",
+            partial_aggs=[F.count("*").alias("pn"), F.max("turn_idx").alias("pmx")],
+            merge_aggs=[F.sum("pn").alias("n"), F.max("pmx").alias("mx")],
+            n_salts="auto", salt_from="turn_idx", profile=profile)
+        return out, {r["conv_id"]: (r["n"], r["mx"]) for r in out.collect()}
+
+    # hot fixture, self-measured: width spreads the hot key, values unchanged
+    out, got = run_auto(df)
+    assert out.salt_width > 1 and out.salt_width & (out.salt_width - 1) == 0
+    assert got == plain
+
+    # a stored ingest-time profile is honored without re-measuring df
+    prof = key_skew_profile(df, "conv_id")
+    out2, got2 = run_auto(df, profile=prof)
+    assert out2.salt_width == out.salt_width
+    assert got2 == plain
+
+    # uniform data resolves to width 1 — auto never pays unasked-for salting
+    # (the fixture minus its hot conv still has ~4% keys, past the 1/32
+    # target, so a genuinely uniform frame is synthesized here)
+    clean = (spark.range(1000)
+             .select((F.col("id") % 100).cast("string").alias("conv_id"),
+                     (F.col("id") / 100).cast("int").alias("turn_idx")))
+    out3, got3 = run_auto(clean)
+    assert out3.salt_width == 1
+    assert all(v == (10, 9) for v in got3.values()) and len(got3) == 100
+
+    # bad width type is rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="auto"):
+        salted_group_agg(df, "conv_id", [F.count("*").alias("pn")],
+                         [F.sum("pn").alias("n")], n_salts="sixteen")
+
+
+def test_write_bucketed_guard_enforces_measured_skew(spark, fixture60, tmp_path):
+    """Round-4 (SURVEY §4.2): write_bucketed measures the bucket key before
+    accepting its one-task-per-conversation trade — warn by default on the
+    planted-hot fixture, raise on request, stay silent on clean data and under
+    the deliberate override."""
+    import warnings
+
+    import pytest as _pytest
+
+    from owl2jsonschema_js_spark.skew import key_skew_profile
+    from owl2jsonschema_js_spark.sources.tableio import write_bucketed
+
+    df = fixture60.to_spark(spark)
+    try:
+        with _pytest.warns(UserWarning, match="concentrates hot key"):
+            write_bucketed(df, "guard_warn", n_buckets=4,
+                           path=str(tmp_path / "gw"))
+
+        with _pytest.raises(ValueError, match="concentrates hot key"):
+            write_bucketed(df, "guard_raise", n_buckets=4,
+                           path=str(tmp_path / "gr"), on_hot="raise")
+
+        # a stored profile is honored (no re-measure) and still trips the guard
+        prof = key_skew_profile(df, "conv_id", top_n=1)
+        with _pytest.raises(ValueError, match="concentrates hot key"):
+            write_bucketed(df, "guard_prof", n_buckets=4,
+                           path=str(tmp_path / "gp"), profile=prof,
+                           on_hot="raise")
+
+        clean = df.where(F.col("conv_id") != prof["top"][0][0])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning fails the test
+            write_bucketed(clean, "guard_clean", n_buckets=4,
+                           path=str(tmp_path / "gc"))
+            write_bucketed(df, "guard_override", n_buckets=4,
+                           path=str(tmp_path / "go"), on_hot="ignore")
+
+        with _pytest.raises(ValueError, match="on_hot"):
+            write_bucketed(df, "guard_bad", n_buckets=4, on_hot="explode")
+    finally:
+        for t in ("guard_warn", "guard_raise", "guard_prof", "guard_clean",
+                  "guard_override", "guard_bad"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -184,7 +184,7 @@ def test_tableio_dispatches_catalog_table_preserving_buckets(spark, fixture60, t
 
     df = fixture60.to_spark(spark)
     write_bucketed(df, "tio_bucketed", n_buckets=4,
-                   path=str(tmp_path / "tio_b"))
+                   path=str(tmp_path / "tio_b"), on_hot="ignore")
     try:
         tio = TableIO(spark, "tio_bucketed")
         assert tio._resolved_fmt() == "table"
