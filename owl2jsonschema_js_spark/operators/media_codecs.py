@@ -53,8 +53,17 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(b):
         cid = b[pos:pos + 4]
         (size,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + size > len(b):
+            # a Python slice would silently truncate here and the chunk
+            # parses below would misread or raise struct.error — at corpus
+            # scale truncated/chopped files are certain, fail loudly instead
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {size} bytes, "
+                f"only {len(b) - pos - 8} remain")
         body = b[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short ({size} bytes, want >=16)")
             fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if fmt != 1:
@@ -66,6 +75,8 @@ def decode_wav(b: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("WAV missing fmt or data chunk")
     if bits != 16 or channels != 1:
         raise ValueError(f"unsupported WAV layout: {bits}-bit, {channels}ch (want 16-bit mono)")
+    if len(data) % 2:
+        raise ValueError("PCM16 data chunk has odd byte length")
     return rate, np.frombuffer(data, dtype="<i2")
 
 
@@ -98,9 +109,19 @@ def decode_bmp(b: bytes) -> np.ndarray:
     (compression,) = struct.unpack_from("<I", b, 30)
     if hdr_size < 40 or bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: header={hdr_size} bpp={bpp} comp={compression}")
+    if w <= 0 or h == 0:
+        # width/height are SIGNED int32 (negative h = top-down rows is valid;
+        # negative/zero w is not) — without this check a hostile width yields
+        # a negative stride and a negative frombuffer count, which numpy
+        # interprets as "whole buffer" before failing on reshape
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     bottom_up = h > 0
     h = abs(h)
     stride = (w * 3 + 3) // 4 * 4
+    if offset < 14 + hdr_size or offset + h * stride > len(b):
+        raise ValueError(
+            f"BMP pixel data out of bounds: offset={offset}, "
+            f"need {h * stride} bytes, file has {len(b)}")
     raw = np.frombuffer(b, dtype=np.uint8, count=h * stride, offset=offset)
     rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if bottom_up:
@@ -126,6 +147,10 @@ def decode_rvid_header(b: bytes) -> tuple[int, int, int]:
     if len(b) < RVID_HEADER or b[0:4] != RVID_MAGIC:
         raise ValueError("not an RVID container")
     w, h, n = struct.unpack_from("<HHI", b, 4)
+    if w == 0 or h == 0:
+        raise ValueError(f"invalid RVID dimensions {w}x{h}")
+    # n*w*h*3 cannot overflow (Python ints are arbitrary precision), so a
+    # hostile n_frames=0xFFFFFFFF lands here as a clean size mismatch
     expect = RVID_HEADER + n * w * h * 3
     if len(b) < expect:
         raise ValueError(f"truncated RVID: {len(b)} bytes, header implies {expect}")
