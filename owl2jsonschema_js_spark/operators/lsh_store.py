@@ -1,0 +1,200 @@
+"""Stored-bucket LSH index: the on-disk production shape of incremental
+near-dup detection.
+
+:func:`~owl2jsonschema_js_spark.operators.dedup.minhash_lsh_pairs_incremental`
+already never re-SHINGLES the stored corpus, but it still re-BANDS it: every
+increment re-reads the index's signature arrays (n_hashes bigints per doc)
+and recomputes band keys over old+new before the bucket join. At bench scale
+that is noise; at 100 TB it is a full-corpus wide-column scan plus
+8 xxhash64 per stored document *per daily increment* — work whose result
+never changes between increments.
+
+This module stores that work. An :class:`LshIndexStore` keeps two tables
+under one root:
+
+  ``features/``  (id, grams, sig)       — the minhash_features index
+  ``buckets/``   (band_no, bucket, id)  — the precomputed band keys,
+                                          partitioned by band_no
+
+and each increment then touches the stored side only through
+
+  * a (band_no, bucket, id) scan of ``buckets/`` — three int columns,
+    ~``bands`` rows per doc, orders of magnitude narrower than the
+    signature+grams table — for candidate generation and the bucket-size
+    guard, and
+  * an id-keyed join into ``features/`` for the exact-Jaccard verify —
+    non-candidate rows fall out at the join (AQE's runtime bloom filter can
+    push the candidate-id set into the scan), and the stored ``sig`` column
+    is never read at all (plan-gated: ReadSchema pruning drops it, since
+    banding only happens on the increment).
+
+Semantics are IDENTICAL to ``minhash_lsh_pairs_incremental`` (asserted in
+tests/test_lsh_store.py): pairs carry >=1 new side, a_id < b_id, bucket caps
+count old+new together, replayed/re-crawled ids are anti-joined out before
+anything else, and appends write only those fresh rows so a crash-replay of
+an increment is a no-op for both tables. The remaining exactly-once caveat
+matches the streaming monitor's: the two appends are not one atomic commit —
+at cluster scale both become idempotent Iceberg MERGE / overwrite-by-key
+commits (sources/tableio.py carries that lane).
+
+Reference parity: same set-dedup semantics lane as operators/dedup.py
+(reference lib/index.js:1041-1044 uniqueItems); the storage layout is ours —
+the reference validates single documents and has no corpus index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.operators.dedup import (
+    _banded, _verify_jaccard, minhash_features)
+
+
+class LshIndexStore:
+    """On-disk MinHash-LSH index with precomputed band buckets.
+
+    Parameters mirror :func:`minhash_lsh_pairs` and are fixed per store —
+    band keys are only comparable when (n_hashes, bands, shingle_k) match,
+    so a store built with one geometry must be grown with the same one (the
+    constructor args are the caller's contract; at cluster scale they would
+    ride the table's properties)."""
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 n_hashes: int = 48, bands: int = 8, shingle_k: int = 5,
+                 threshold: float = 0.7, max_bucket: int = 64,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        assert n_hashes % bands == 0
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.features_path = f"{self.root}/features"
+        self.buckets_path = f"{self.root}/buckets"
+        self.n_hashes, self.bands = n_hashes, bands
+        self.shingle_k, self.threshold = shingle_k, threshold
+        self.max_bucket = max_bucket
+        self.id_col, self.text_col = id_col, text_col
+
+    # ------------------------------------------------------------ building
+    def create(self, docs: DataFrame) -> None:
+        """Seed the store from an initial corpus (no pairs are emitted —
+        run the batch :func:`minhash_lsh_pairs` first if the seed corpus
+        itself needs deduping, or just call :meth:`increment` on the empty
+        store, which emits the seed's internal pairs exactly like the
+        streaming monitor's batch 0)."""
+        feat = minhash_features(docs, self.n_hashes, self.shingle_k,
+                                self.id_col, self.text_col)
+        feat.write.mode("error").parquet(self.features_path)
+        # band from the WRITTEN table: one signature pass total, and the
+        # band keys provably derive from the exact bytes future increments
+        # will see
+        stored = self.spark.read.parquet(self.features_path)
+        (_banded(stored, self.n_hashes, self.bands)
+         .write.mode("error").partitionBy("band_no").parquet(self.buckets_path))
+
+    def features(self) -> DataFrame:
+        """Stored (id, grams, sig) rows; empty frame before the first
+        create/increment (probed by READING, not a driver-local path check —
+        the store lives wherever Spark's filesystem does: s3a/hdfs/file)."""
+        from pyspark.errors import AnalysisException
+        try:
+            return self.spark.read.parquet(self.features_path)
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [], "id long, grams array<bigint>, sig array<bigint>")
+
+    def buckets(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+        try:
+            return self.spark.read.parquet(self.buckets_path)
+        except AnalysisException:
+            return self.spark.createDataFrame(
+                [], "id long, band_no int, bucket long")
+
+    # ----------------------------------------------------------- growing
+    def _increment_plan(self, fresh: DataFrame) -> DataFrame:
+        """Lazy pair plan for an (already anti-joined, materialized)
+        increment — split out so the sig-never-read plan gate in
+        tests/test_lsh_store.py can inspect exactly the plan
+        :meth:`increment` executes."""
+        new_banded = _banded(fresh, self.n_hashes, self.bands)
+        old_banded = self.buckets().select("band_no", "bucket", "id")
+
+        # bucket-size guard over old+new TOGETHER (identical to the batch
+        # lane: a boilerplate bucket that only crossed max_bucket via this
+        # increment is still dropped) — counted on the narrow tables, no
+        # signature bytes involved
+        sizes = (old_banded.select("band_no", "bucket")
+                 .unionByName(new_banded.select("band_no", "bucket"))
+                 .groupBy("band_no", "bucket").agg(F.count(F.lit(1)).alias("bc")))
+        keep = sizes.where(F.col("bc") <= self.max_bucket)
+
+        new_k = (new_banded.join(keep.select("band_no", "bucket"),
+                                 ["band_no", "bucket"]))
+        old_k = (old_banded.join(keep.select("band_no", "bucket"),
+                                 ["band_no", "bucket"]))
+
+        # candidates: new-new (self-join within the increment) + new-old
+        # (increment vs stored buckets). Old-old is structurally absent — the
+        # stored side never joins itself. Ids normalized to a_id < b_id.
+        nn = (new_k.alias("a").join(
+                  new_k.alias("b"),
+                  (F.col("a.band_no") == F.col("b.band_no"))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id")))
+        no = (new_k.alias("a").join(
+                  old_k.alias("b"),
+                  (F.col("a.band_no") == F.col("b.band_no"))
+                  & (F.col("a.bucket") == F.col("b.bucket")))
+              .select(F.least("a.id", "b.id").alias("a_id"),
+                      F.greatest("a.id", "b.id").alias("b_id")))
+        cands = nn.unionByName(no).dropDuplicates(["a_id", "b_id"])
+
+        # verify on candidates only; grams come from stored features (old
+        # side) + the fresh frame (new side). Column pruning keeps the
+        # stored scan at (id, grams) — `sig` never leaves parquet.
+        grams = (self.features().select("id", "grams")
+                 .unionByName(fresh.select("id", "grams")))
+        return _verify_jaccard(cands, grams, self.threshold)
+
+    def prepare(self, new_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Materialized ``(pairs, fresh)`` for an increment WITHOUT growing
+        the store — the two-phase form for callers that must commit the
+        pairs to their own sink between detection and growth (the streaming
+        monitor: pairs-append then grow gives at-least-once pair delivery
+        under crash-replay; growing first would silently LOSE a replayed
+        batch's pairs, since replayed ids are anti-joined out).
+
+        Both frames are eagerly localCheckpoint'ed: ``fresh`` because it
+        feeds banding, verify and the eventual append; ``pairs`` because its
+        plan lazily re-reads the store paths — evaluating it after
+        :meth:`grow` would double the fresh rows into the grams join and the
+        bucket-size guard. Candidate-bounded and increment-sized
+        respectively, so both checkpoints are small by construction."""
+        fresh = (minhash_features(new_docs, self.n_hashes, self.shingle_k,
+                                  self.id_col, self.text_col)
+                 # replay idempotency: already-indexed ids are dropped before
+                 # anything else (same contract as the in-memory kernel)
+                 .join(self.features().select("id"), "id", "left_anti")
+                 .localCheckpoint(eager=True))
+        pairs = self._increment_plan(fresh).localCheckpoint(eager=True)
+        return pairs, fresh
+
+    def grow(self, fresh: DataFrame) -> None:
+        """Append a :meth:`prepare`-returned increment to both tables (the
+        anti-join in prepare makes replaying a grown increment a no-op)."""
+        fresh.write.mode("append").parquet(self.features_path)
+        _banded(fresh, self.n_hashes, self.bands) \
+            .write.mode("append").partitionBy("band_no").parquet(self.buckets_path)
+
+    def increment(self, new_docs: DataFrame) -> DataFrame:
+        """Dedup an increment against the store, grow the store, return the
+        verified (a_id, b_id, jaccard) pairs (>=1 new side each).
+
+        Stored-side cost per increment: one narrow ``buckets/`` scan + one
+        id-keyed join into ``features/`` for candidate grams. The stored
+        corpus is never re-shingled, never re-banded, and its signature
+        column is never even read."""
+        pairs, fresh = self.prepare(new_docs)
+        self.grow(fresh)
+        return pairs

@@ -103,3 +103,47 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
 
     attach.write_batch = write_batch  # direct handle for replay testing
     return attach
+
+
+def dedup_monitor_stored(store_root: str, pairs_path: str,
+                         checkpoint_dir: str, threshold: float = 0.7,
+                         n_hashes: int = 48, bands: int = 8,
+                         shingle_k: int = 5, max_bucket: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """:func:`dedup_monitor` on an :class:`~owl2jsonschema_js_spark.
+    operators.lsh_store.LshIndexStore` backend — identical pair semantics
+    (proven in tests/test_lsh_store.py), different stored-side cost: the
+    plain monitor re-reads the stored signature arrays and re-computes band
+    keys over the whole corpus every micro-batch, while the store keeps the
+    band keys as a narrow (band_no, bucket, id) table, so each batch's
+    stored-side work is one 3-int-column scan plus a candidate-grams join —
+    the posture that holds when the corpus index is 100 TB and batches land
+    every few minutes.
+
+    Same replay story as the plain monitor, enforced through the store's
+    two-phase prepare/grow API: pairs are committed BEFORE the store grows,
+    so a replay that crashed between them regenerates and re-appends that
+    one batch_id's pairs (at-least-once; dedup downstream on batch_id —
+    Iceberg MERGE at cluster scale), while a replay after the grow is
+    anti-joined to nothing. Growing first would invert this into silent
+    pair LOSS on replay."""
+    from owl2jsonschema_js_spark.operators.lsh_store import LshIndexStore
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store = LshIndexStore(
+            batch_df.sparkSession, store_root, n_hashes=n_hashes,
+            bands=bands, shingle_k=shingle_k, threshold=threshold,
+            max_bucket=max_bucket, id_col=id_col, text_col=text_col)
+        pairs, fresh = store.prepare(batch_df)
+        (pairs.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(pairs_path))
+        store.grow(fresh)
+
+    def attach(stream_df: DataFrame):
+        return (stream_df.writeStream
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True))
+
+    attach.write_batch = write_batch
+    return attach

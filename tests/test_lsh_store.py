@@ -1,0 +1,156 @@
+"""Stored-bucket LSH index (operators/lsh_store.py).
+
+Contracts: (1) increment pairs == the in-memory incremental kernel's pairs
+on the same split (which test_dedup_incremental.py already proves == batch
+restricted to new); (2) a replayed increment appends nothing and re-emits
+nothing; (3) two successive increments end with the store == a full
+recompute and the pair union == the batch pair set minus seed-internal
+pairs; (4) plan gate — an increment never reads the stored `sig` column."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.operators.dedup import (
+    minhash_features, minhash_lsh_pairs, minhash_lsh_pairs_incremental)
+from owl2jsonschema_js_spark.operators.lsh_store import LshIndexStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _pairset(df):
+    return {(r["a_id"], r["b_id"]): round(r["jaccard"], 6) for r in df.collect()}
+
+
+def test_store_increment_equals_inmemory_kernel(spark, docs, tmp_path):
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+    got = _pairset(store.increment(new))
+
+    index = minhash_features(old).persist()
+    exp = _pairset(minhash_lsh_pairs_incremental(new, index, threshold=0.7)[0])
+    index.unpersist()
+    assert got == exp and got, "stored-bucket lane must match the kernel"
+
+
+def test_store_replayed_increment_is_noop(spark, docs, tmp_path):
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+    first = _pairset(store.increment(new))
+    n_feat = store.features().count()
+    n_bucket = store.buckets().count()
+
+    replay = store.increment(new)  # crash-replay / re-crawled ids
+    assert replay.count() == 0
+    assert store.features().count() == n_feat
+    assert store.buckets().count() == n_bucket
+    assert store.features().groupBy("id").count().where("count > 1").count() == 0
+    assert first, "fixture must have produced pairs for this test to bite"
+
+
+def test_store_two_increments_match_full_recompute(spark, docs, tmp_path):
+    third = [docs.where(F.col("doc_id") % 3 == k) for k in range(3)]
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(third[0])
+    p1 = _pairset(store.increment(third[1]))
+    p2 = _pairset(store.increment(third[2]))
+
+    # store contents == one-shot recompute over everything
+    got_feat = {r["id"]: (list(r["sig"]), len(r["grams"]))
+                for r in store.features().collect()}
+    exp_feat = {r["id"]: (list(r["sig"]), len(r["grams"]))
+                for r in minhash_features(docs).collect()}
+    assert got_feat == exp_feat
+
+    # pair union == batch pairs minus those internal to the seed corpus
+    batch = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    exp = {p: j for p, j in batch.items()
+           if not (p[0] % 3 == 0 and p[1] % 3 == 0)}
+    union = dict(p1)
+    union.update(p2)
+    assert union == exp
+    assert not (set(p1) & set(p2)), "an increment re-emitted earlier pairs"
+
+
+def test_stored_monitor_accumulates_index(spark, docs, tmp_path):
+    """Two micro-batches through dedup_monitor_stored == the full batch pair
+    set — the stored-bucket backend carries corpus memory across batches
+    exactly like the plain monitor, minus the per-batch corpus re-band."""
+    from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor_stored
+
+    src = str(tmp_path / "src")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    pairs_path = str(tmp_path / "pairs")
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    attach = dedup_monitor_stored(str(tmp_path / "store"), pairs_path,
+                                  str(tmp_path / "ckpt"), threshold=0.7)
+    q = attach(stream).start()
+    q.awaitTermination(300)
+
+    got = _pairset(spark.read.parquet(pairs_path))
+    full = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    assert got == full
+
+
+def test_stored_monitor_replay_is_at_least_once_never_lossy(spark, docs, tmp_path):
+    """Crash-replay semantics of the two-phase prepare/grow ordering: a
+    replay after BOTH appends is a no-op; and because pairs commit before
+    the store grows, no crash point can lose a batch's pairs."""
+    from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor_stored
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    pairs_path = str(tmp_path / "pairs")
+    attach = dedup_monitor_stored(str(tmp_path / "store"), pairs_path,
+                                  str(tmp_path / "ckpt"), threshold=0.7)
+    attach.write_batch(half, 0)
+    n_pairs = spark.read.parquet(pairs_path).count()
+    attach.write_batch(half, 0)  # replay after both appends: nothing happens
+    assert spark.read.parquet(pairs_path).count() == n_pairs
+
+    attach.write_batch(rest, 1)
+    got = _pairset(spark.read.parquet(pairs_path))
+    full = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    assert got == full
+
+
+def test_store_increment_never_reads_stored_sig(spark, docs, tmp_path):
+    """The whole point of storing the band keys: the increment's plan must
+    touch the stored features only at (id, grams) — re-banding would show as
+    `sig` in a ReadSchema over the features path."""
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+
+    # the exact lazy plan increment() executes, without the grow
+    fresh = (minhash_features(new, store.n_hashes, store.shingle_k)
+             .join(store.features().select("id"), "id", "left_anti"))
+    pairs = store._increment_plan(fresh)
+
+    # structural gate, independent of path truncation in Location strings:
+    # the ONLY parquet source carrying a `sig` column is the stored features
+    # table (the increment's sig comes from the pandas UDF over documents),
+    # so no FileScan may project sig — while grams MUST appear (the verify
+    # join's stored-grams scan), proving the gate actually sees the store.
+    import re
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    scans = re.findall(r"FileScan parquet \[[^\]]*\]", plan)
+    assert scans, "plan gate should see FileScan nodes"
+    offending = [s for s in scans if re.search(r"\bsig#", s)]
+    assert not offending, f"stored sig column was scanned:\n{offending}"
+    assert any(re.search(r"\bgrams#", s) for s in scans), \
+        "plan gate should see the stored grams scan"

@@ -287,17 +287,32 @@ def test_turn_monitor_evicts_idle_state_and_reseeds(spark, tmp_path):
     next micro-batch, and a turn arriving after eviction re-seeds from
     max_idx=-1 and is flagged 'gap' conservatively. The same feed with
     idle_timeout_ms=None (keep-forever) stays clean, proving the flag comes
-    from eviction, not from a contiguity-logic change."""
+    from eviction, not from a contiguity-logic change.
+
+    Timing discipline: processing-time timeouts anchor to BATCH timestamps,
+    so 'live' stays resident only while its inter-batch gap stays under the
+    deadline — a stalled batch past the deadline evicts it, and the
+    conservative re-seed then (correctly) over-flags. The test therefore
+    uses a deadline ~7x the feed cadence, measures the actual gaps between
+    acked live batches, and SKIPS (not fails) if the machine was too loaded
+    to hold the cadence the assertion presumes."""
     import time
+
+    import pytest as _pytest
 
     from owl2jsonschema_js_spark.streaming.stateful import turn_sequence_monitor
 
     schema = "conv_id string, turn_idx int"
+    TIMEOUT_MS = 15_000          # eviction deadline for the bounded run
+    CADENCE_S = 2.0              # live speaks every ~2s (7.5x margin)
+    MAX_ACK_GAP_S = 9.0          # cadence precondition; past this -> skip
 
     def run_feed(label, idle_timeout_ms):
-        """One LIVE query (the deployment shape — rapid restart cycles on a
-        shared checkpoint are a state-store stressor, not the contract);
-        files arrive while it runs, timeouts fire in intervening batches."""
+        """One LIVE query (the deployment shape); files arrive while it
+        runs, expired-timeout batches fire on every 500ms trigger even with
+        no data — which is why 'live' must keep talking to stay resident.
+        Every feed is ACKED (polled until consumed) so the timeline anchors
+        to actual processing, not wall-clock hope."""
         src = str(tmp_path / label / "src")
         out = str(tmp_path / label / "out")
 
@@ -305,14 +320,6 @@ def test_turn_monitor_evicts_idle_state_and_reseeds(spark, tmp_path):
             spark.createDataFrame(rows, schema).coalesce(1) \
                 .write.parquet(f"{src}/{fname}")
 
-        # both convs start clean; 'idle' then goes quiet while 'live' keeps
-        # speaking at intervals well inside the 6s deadline (expired-timeout
-        # batches run on every 500ms trigger even with no data, so ANY key
-        # quiet past the deadline is evicted — that is the semantics under
-        # test, and why 'live' must keep talking to stay resident). Every
-        # feed is ACKED (polled until the stream consumed it) so the
-        # timeline anchors to actual processing, not to wall-clock hope —
-        # the first batch alone can take seconds on a loaded session.
         feed([("idle", 0), ("idle", 1), ("live", 0)], "f1")
         stream = spark.readStream.schema(schema).parquet(src + "/f*")
         q = (turn_sequence_monitor(stream, idle_timeout_ms=idle_timeout_ms)
@@ -326,32 +333,41 @@ def test_turn_monitor_evicts_idle_state_and_reseeds(spark, tmp_path):
             end = time.time() + deadline_s
             while time.time() < end:
                 if sum(p["numInputRows"] for p in q.recentProgress) >= fed["n"]:
-                    return
+                    return time.time()
                 time.sleep(0.2)
             raise AssertionError("stream did not consume fed rows in time")
 
         def feed_ack(rows, fname):
             feed(rows, fname)
             fed["n"] += len(rows)
-            ack()
+            return ack()
 
+        live_ack_gaps = []
         try:
-            ack()                              # f1 processed: idle last seen
-            time.sleep(2.0)
-            feed_ack([("live", 1)], "f2")      # refresh live
-            time.sleep(2.0)
-            feed_ack([("live", 2)], "f3")      # refresh live
-            time.sleep(2.0)
-            feed_ack([("live", 3)], "f4")      # refresh live; idle quiet ~6s+
-            time.sleep(1.5)                    # eviction batch certainly ran
+            t_idle_last = ack()               # f1 processed: idle last seen
+            # keep live talking (acked cadence) until idle has been quiet
+            # past the deadline + one trigger + margin
+            quiet_target = TIMEOUT_MS / 1000 + 2.0
+            turn, t_prev = 1, t_idle_last
+            while time.time() - t_idle_last < quiet_target:
+                time.sleep(CADENCE_S)
+                t = feed_ack([("live", turn)], f"f{turn + 1}")
+                live_ack_gaps.append(t - t_prev)
+                t_prev, turn = t, turn + 1
+            time.sleep(1.5)                   # eviction batch certainly ran
             # 'idle' resumes contiguously at 2 — against evicted (re-seeded)
             # state that is a gap; against kept state it is clean
-            feed_ack([("idle", 2), ("live", 4)], "f5")
-            time.sleep(1.0)                    # let the sink commit the batch
+            feed_ack([("idle", 2), ("live", turn)], f"f{turn + 1}")
+            time.sleep(1.0)                   # let the sink commit the batch
         finally:
             q.stop()
+        if live_ack_gaps and max(live_ack_gaps) > MAX_ACK_GAP_S:
+            _pytest.skip(
+                f"machine too loaded to hold the live cadence "
+                f"(max inter-ack gap {max(live_ack_gaps):.1f}s > "
+                f"{MAX_ACK_GAP_S}s); eviction semantics untestable here")
         return {(r["conv_id"], r["turn_idx"], r["kind"])
                 for r in spark.read.parquet(out).collect()}
 
-    assert run_feed("bounded", idle_timeout_ms=6000) == {("idle", 2, "gap")}
+    assert run_feed("bounded", idle_timeout_ms=TIMEOUT_MS) == {("idle", 2, "gap")}
     assert run_feed("forever", idle_timeout_ms=None) == set()
