@@ -67,7 +67,29 @@ spark.stop()
 """
 
 
-def run_level(repo: str, cpus: int, path: str, gen: bool) -> float:
+GEN_CHILD = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from bench import build_session
+from owl2jsonschema_js_spark.datagen import gen_transcripts_spark
+spark = build_session("32")
+spark.sparkContext.setLogLevel("ERROR")
+gen_transcripts_spark(spark, n_rows={n_turns}, n_convs=max(1000, {n_turns} // 200)) \
+    .write.mode("overwrite").parquet(sys.argv[1])
+spark.stop()
+"""
+
+
+def generate(repo: str, path: str) -> None:
+    """One corpus write at full parallelism BEFORE any timed level —
+    generation is not part of the timing, so it should never ride the
+    slowest level's thread count (a 240M-row write at local[2] wastes ~15
+    quiet-window minutes for nothing)."""
+    code = GEN_CHILD.format(repo=repo, n_turns=N_TURNS)
+    subprocess.run([sys.executable, "-c", code, path], check=True, timeout=3600)
+
+
+def run_level(repo: str, cpus: int, path: str, gen: bool = False) -> float:
     code = CHILD.format(repo=repo, n_turns=N_TURNS)
     args = [sys.executable, "-c", code, str(cpus), path] + (["gen"] if gen else [])
     out = subprocess.run(args, capture_output=True, text=True, timeout=3600)
@@ -92,9 +114,10 @@ def host_ceiling(repo: str) -> dict | None:
 def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     path = tempfile.mkdtemp(prefix="scale_transcripts_") + "/t.parquet"
+    generate(repo, path)
     secs: dict[int, float] = {}
-    for i, lvl in enumerate(LEVELS):
-        secs[lvl] = run_level(repo, lvl, path, gen=(i == 0))
+    for lvl in LEVELS:
+        secs[lvl] = run_level(repo, lvl, path)
     probe = host_ceiling(repo)
 
     def eff(a: int, b: int) -> float:
