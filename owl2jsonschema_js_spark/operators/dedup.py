@@ -257,6 +257,7 @@ def minhash_lsh_pairs_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     new_feat: DataFrame | None = None,
+    new_feat_is_fresh: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection: new documents against an existing
     corpus INDEX — the production shape when a crawl increment lands daily
@@ -303,9 +304,16 @@ def minhash_lsh_pairs_incremental(
     if own_feat:
         new_feat = minhash_features(new_docs, n_hashes, shingle_k,
                                     id_col, text_col)
-    # replay idempotency: already-indexed ids contribute nothing new
-    fresh = new_feat.select("id", "grams", "sig").join(
-        index.select("id"), "id", "left_anti")
+    # replay idempotency: already-indexed ids contribute nothing new.
+    # ``new_feat_is_fresh`` skips this when the caller ALREADY anti-joined
+    # (the streaming monitor does, because it also appends the fresh rows
+    # to the index) — otherwise the index id column would be scanned twice
+    # per call for the same answer.
+    if new_feat_is_fresh and not own_feat:
+        fresh = new_feat.select("id", "grams", "sig")
+    else:
+        fresh = new_feat.select("id", "grams", "sig").join(
+            index.select("id"), "id", "left_anti")
     if own_feat:
         # materialize the increment ONCE (it feeds the band join, the
         # verify join and new_index); eager localCheckpoint instead of

@@ -30,12 +30,15 @@ and each increment then touches the stored side only through
 
 Semantics are IDENTICAL to ``minhash_lsh_pairs_incremental`` (asserted in
 tests/test_lsh_store.py): pairs carry >=1 new side, a_id < b_id, bucket caps
-count old+new together, replayed/re-crawled ids are anti-joined out before
-anything else, and appends write only those fresh rows so a crash-replay of
-an increment is a no-op for both tables. The remaining exactly-once caveat
-matches the streaming monitor's: the two appends are not one atomic commit —
-at cluster scale both become idempotent Iceberg MERGE / overwrite-by-key
-commits (sources/tableio.py carries that lane).
+count old+new together, and replayed/re-crawled ids are anti-joined out
+before anything else. The two appends are not one atomic commit, so crash
+windows are handled explicitly rather than wished away: an id counts as
+indexed only when present in BOTH tables, and each append anti-joins its own
+table — a replay of a fully-grown increment is a no-op, a replay of a
+partially-grown one re-detects the increment and completes the missing
+append (see :meth:`LshIndexStore.prepare`). At cluster scale both appends
+become idempotent Iceberg MERGE / overwrite-by-key commits
+(sources/tableio.py carries that lane).
 
 Reference parity: same set-dedup semantics lane as operators/dedup.py
 (reference lib/index.js:1041-1044 uniqueItems); the storage layout is ours —
@@ -80,7 +83,13 @@ class LshIndexStore:
         run the batch :func:`minhash_lsh_pairs` first if the seed corpus
         itself needs deduping, or just call :meth:`increment` on the empty
         store, which emits the seed's internal pairs exactly like the
-        streaming monitor's batch 0)."""
+        streaming monitor's batch 0).
+
+        One-time bootstrap, not crash-atomic: a failure between the two
+        writes leaves features rows without band rows (``mode('error')``
+        then refuses a blind re-run). :meth:`doctor` detects and re-bands
+        exactly those orphans; increments are replay-healed and never need
+        it."""
         feat = minhash_features(docs, self.n_hashes, self.shingle_k,
                                 self.id_col, self.text_col)
         feat.write.mode("error").parquet(self.features_path)
@@ -145,15 +154,23 @@ class LshIndexStore:
         no = (new_k.alias("a").join(
                   old_k.alias("b"),
                   (F.col("a.band_no") == F.col("b.band_no"))
-                  & (F.col("a.bucket") == F.col("b.bucket")))
+                  & (F.col("a.bucket") == F.col("b.bucket"))
+                  # a partially-grown store (crash between the two appends)
+                  # can hold an increment id on the old side too — never
+                  # pair an id with itself
+                  & (F.col("a.id") != F.col("b.id")))
               .select(F.least("a.id", "b.id").alias("a_id"),
                       F.greatest("a.id", "b.id").alias("b_id")))
         cands = nn.unionByName(no).dropDuplicates(["a_id", "b_id"])
 
         # verify on candidates only; grams come from stored features (old
         # side) + the fresh frame (new side). Column pruning keeps the
-        # stored scan at (id, grams) — `sig` never leaves parquet.
+        # stored scan at (id, grams) — `sig` never leaves parquet. The
+        # stored side excludes fresh ids structurally: after a partial grow
+        # the features table may already hold them, and a doubled grams row
+        # would fan the verify join out into duplicate pair rows.
         grams = (self.features().select("id", "grams")
+                 .join(fresh.select("id"), "id", "left_anti")
                  .unionByName(fresh.select("id", "grams")))
         return _verify_jaccard(cands, grams, self.threshold)
 
@@ -165,27 +182,66 @@ class LshIndexStore:
         under crash-replay; growing first would silently LOSE a replayed
         batch's pairs, since replayed ids are anti-joined out).
 
+        Replay idempotency is keyed on BOTH tables: an id counts as indexed
+        only when it has a features row AND band rows. A replay after a
+        crash inside :meth:`grow` (features appended, buckets not yet)
+        therefore re-detects the whole increment — re-emitting its pairs
+        (at-least-once, dedup downstream on the caller's batch key) and
+        letting grow's per-table anti-joined appends heal the missing band
+        rows. Keying on features alone would make that crash permanent:
+        the replay would see "already indexed", append nothing, and every
+        future increment would silently miss pairs against this one.
+
         Both frames are eagerly localCheckpoint'ed: ``fresh`` because it
         feeds banding, verify and the eventual append; ``pairs`` because its
         plan lazily re-reads the store paths — evaluating it after
         :meth:`grow` would double the fresh rows into the grams join and the
         bucket-size guard. Candidate-bounded and increment-sized
         respectively, so both checkpoints are small by construction."""
+        fully_indexed = (self.features().select("id")
+                         .join(self.buckets().select("id"), "id", "left_semi"))
         fresh = (minhash_features(new_docs, self.n_hashes, self.shingle_k,
                                   self.id_col, self.text_col)
-                 # replay idempotency: already-indexed ids are dropped before
-                 # anything else (same contract as the in-memory kernel)
-                 .join(self.features().select("id"), "id", "left_anti")
+                 .join(fully_indexed, "id", "left_anti")
                  .localCheckpoint(eager=True))
         pairs = self._increment_plan(fresh).localCheckpoint(eager=True)
         return pairs, fresh
 
     def grow(self, fresh: DataFrame) -> None:
-        """Append a :meth:`prepare`-returned increment to both tables (the
-        anti-join in prepare makes replaying a grown increment a no-op)."""
-        fresh.write.mode("append").parquet(self.features_path)
-        _banded(fresh, self.n_hashes, self.bands) \
-            .write.mode("append").partitionBy("band_no").parquet(self.buckets_path)
+        """Append a :meth:`prepare`-returned increment to both tables.
+        Each append is independently anti-joined against its own table, so
+        replaying a partially-grown increment completes it instead of
+        duplicating rows (features first; the write order means features ⊇
+        buckets always holds, which :meth:`doctor` relies on). Both missing-
+        row frames are materialized BEFORE either write so neither append
+        job reads the path it is appending to."""
+        feat_missing = (fresh.join(self.features().select("id"),
+                                   "id", "left_anti")
+                        .localCheckpoint(eager=True))
+        bucket_missing = (_banded(fresh, self.n_hashes, self.bands)
+                          .join(self.buckets().select("id"), "id", "left_anti")
+                          .localCheckpoint(eager=True))
+        feat_missing.write.mode("append").parquet(self.features_path)
+        bucket_missing.write.mode("append").partitionBy("band_no") \
+            .parquet(self.buckets_path)
+
+    def doctor(self) -> int:
+        """Repair path for ids with features rows but no band rows — the
+        residue of a crash inside :meth:`create` (whose two writes are a
+        one-time bootstrap, not replay-healed like increments). Re-bands
+        exactly the orphaned rows from their STORED signatures (the one code
+        path that reads the stored ``sig`` column — it is the repair lane,
+        not the increment hot path) and appends them. Returns the number of
+        ids healed; 0 means the store is consistent."""
+        orphans = (self.features()
+                   .join(self.buckets().select("id"), "id", "left_anti")
+                   .select("id", "sig").localCheckpoint(eager=True))
+        n = orphans.count()
+        if n:
+            _banded(orphans, self.n_hashes, self.bands) \
+                .write.mode("append").partitionBy("band_no") \
+                .parquet(self.buckets_path)
+        return n
 
     def increment(self, new_docs: DataFrame) -> DataFrame:
         """Dedup an increment against the store, grow the store, return the

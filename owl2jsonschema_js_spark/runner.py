@@ -118,6 +118,7 @@ class ValidationRunner:
         n_parts: int = 16,
         uniqueness: str = "full",
         skew_profile: dict | None = None,
+        cache_ref_catalog: bool = True,
     ):
         """``uniqueness``: 'full' (default) always runs the full-key groupBy;
         'gated' restricts it to conversations the (already-paid) group agg
@@ -144,7 +145,16 @@ class ValidationRunner:
         turns), so 'full' is the default; at 10^12 rows the full-key shuffle
         is ~24 TB through network+disk while the gate's flagged set is
         normally tiny, so a cluster deployment should pass 'gated'
-        (SCALE.md)."""
+        (SCALE.md).
+
+        ``cache_ref_catalog``: memoize the referential fold's collected key
+        set per (catalog DataFrame object, key) across :meth:`run` calls —
+        right for bench loops and frozen dims, where it deletes a catalog
+        scan per run. A DataFrame is a plan, not data, so when the SAME
+        object is backed by a mutating catalog table (spark.table('dim') in
+        a long foreachBatch loop with dim rows landing between batches) the
+        memo would serve stale keys; such callers pass False to re-collect
+        per run, or simply hand a fresh DataFrame per batch."""
         if uniqueness not in ("auto", "full", "gated"):
             raise ValueError(f"unknown uniqueness strategy {uniqueness!r}")
         self.plan = plan
@@ -153,6 +163,7 @@ class ValidationRunner:
         self.n_parts = n_parts
         self.uniqueness = uniqueness
         self.skew_profile = skew_profile
+        self.cache_ref_catalog = cache_ref_catalog
         self.last_uniqueness: str | None = None
 
     # ------------------------------------------------------------------ rows
@@ -398,14 +409,19 @@ class ValidationRunner:
             col = ref["column"]
             key = ref.get("key", col)
             cached = getattr(self, "_ref_fold_cache", None)
-            if cached is not None and cached[0] is catalog and cached[1] == key:
+            if (self.cache_ref_catalog and cached is not None
+                    and cached[0] is catalog and cached[1] == key):
                 vals = cached[2]
             else:
                 vals = [r[0] for r in catalog.select(F.col(key)).distinct()
                         .limit(REF_FOLD_MAX + 1).collect()]
                 # memoized per catalog OBJECT (held strongly, so id-reuse
-                # can't alias a different frame); a new/changed catalog
-                # naturally misses and re-collects
+                # can't alias a different frame). NB a DataFrame object is
+                # a PLAN, not data: spark.table('dim') re-resolves per
+                # action, so a mutating catalog table behind one long-lived
+                # object would serve stale keys from this memo — such
+                # callers pass cache_ref_catalog=False (or a fresh
+                # DataFrame per run, which misses naturally)
                 self._ref_fold_cache = (catalog, key, vals)
             if len(vals) <= REF_FOLD_MAX:
                 c = F.col(col)

@@ -98,7 +98,12 @@ def salted_group_agg(
     rollup and the second phase is a near-no-op, so auto never pays salting
     the data didn't ask for. Outputs are identical for every width (the merge
     is algebraic); the decided width is recorded on the returned DataFrame as
-    ``salt_width`` for observability and tests."""
+    ``salt_width`` — a driver-side Python attribute on EXACTLY this object
+    (any further transformation returns a new DataFrame without it), there
+    for tests and call-site logging, not a durable data channel. Callers
+    that need the width downstream read it here and carry it themselves —
+    baking it in as a literal column would change the output schema of
+    every aggregate this function serves."""
     if n_salts == "auto":
         n_salts = recommend_salts(profile or key_skew_profile(df, key),
                                   target_share)

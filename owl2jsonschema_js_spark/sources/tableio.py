@@ -188,11 +188,19 @@ def write_bucketed(
 
         prof = profile or key_skew_profile(df, bucket_col, top_n=1)
         if prof["max_share"] > max_hot_share:
-            hot_key, hot_n, hot_share = prof["top"][0]
+            if prof.get("top"):
+                hot_key, hot_n, hot_share = prof["top"][0]
+                hot_desc = (f"hot key {hot_key!r} ({hot_n:,} rows, "
+                            f"{hot_share:.1%} of the table)")
+            else:
+                # stored/hand-assembled profiles may carry max_share without
+                # the top list — the guard still fires, just keylessly
+                hot_desc = (f"a hot key holding {prof['max_share']:.1%} "
+                            "of the table (profile carries no top list)")
             msg = (
-                f"bucketing {table!r} by {bucket_col!r} concentrates hot key "
-                f"{hot_key!r} ({hot_n:,} rows, {hot_share:.1%} of the table, "
-                f"> max_hot_share={max_hot_share:.0%}) into one task per run; "
+                f"bucketing {table!r} by {bucket_col!r} concentrates "
+                f"{hot_desc}, "
+                f"> max_hot_share={max_hot_share:.0%}, into one task per run; "
                 "bench_bucketed.py measured 0.41x per-run at share 0.30 — "
                 "keep the shuffled lane for this corpus, or pass "
                 "on_hot='ignore' to accept the straggler")

@@ -66,34 +66,36 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # sign the batch ONCE, own the cache: the same persisted features
-        # drive the pair kernel (via new_feat=) and the index append, and are
-        # released here — no kernel-internal cache survives the batch (the
-        # first batch runs the SAME kernel against an empty index: its pairs
-        # are exactly the batch-internal new-new side).
-        new_feat = minhash_features(batch_df, n_hashes, shingle_k,
-                                    id_col, text_col).persist()
         index = _load_index(spark)
         if index is None:
             index = spark.createDataFrame(
                 [], "id long, grams array<bigint>, sig array<bigint>")
+        # sign the batch ONCE and anti-join ONCE, own the cache: the same
+        # persisted FRESH rows (ids absent from the stored index — replay /
+        # re-crawl idempotency) drive the pair kernel (new_feat_is_fresh
+        # skips the kernel's own anti-join, which would re-scan the index id
+        # column for the same answer) and the index append, and are released
+        # here — no kernel-internal cache survives the batch (the first
+        # batch runs the SAME kernel against an empty index: its pairs are
+        # exactly the batch-internal new-new side).
+        fresh = (minhash_features(batch_df, n_hashes, shingle_k,
+                                  id_col, text_col)
+                 .join(index.select("id"), "id", "left_anti").persist())
         pairs, _ = minhash_lsh_pairs_incremental(
             batch_df, index, n_hashes=n_hashes, bands=bands,
             shingle_k=shingle_k, threshold=threshold,
             max_bucket=max_bucket, id_col=id_col, text_col=text_col,
-            new_feat=new_feat)
+            new_feat=fresh, new_feat_is_fresh=True)
         (pairs.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(pairs_path))
-        # append AFTER the pair write so this batch never pairs against itself
-        # twice (in-batch pairs come from the kernel's new-new side), and
-        # append only rows ABSENT from the stored index — the same id-level
-        # anti-join the kernel applies. Writing the unfiltered new_feat would
-        # let a crash-replay (or a re-delivered id) stack duplicate
-        # (id, grams, sig) rows into the index, fanning out the verify-join's
-        # grams side for those ids in every later batch.
-        fresh = new_feat.join(index.select("id"), "id", "left_anti")
+        # append AFTER the pair write so this batch never pairs against
+        # itself twice (in-batch pairs come from the kernel's new-new side);
+        # appending the already-anti-joined fresh rows keeps a crash-replay
+        # (or a re-delivered id) from stacking duplicate (id, grams, sig)
+        # rows into the index, which would fan out the verify-join's grams
+        # side for those ids in every later batch.
         fresh.write.mode("append").parquet(index_path)
-        new_feat.unpersist()
+        fresh.unpersist()
 
     def attach(stream_df: DataFrame):
         return (stream_df.writeStream

@@ -32,6 +32,13 @@ via a processing-time timeout. Eviction semantics, stated precisely:
 
 ``idle_timeout_ms=None`` restores keep-forever state for short-lived or
 bounded-key streams where eviction noise is worse than state growth.
+Making the bounded mode the DEFAULT is a deliberate round-4 output-contract
+change (flagged in review, kept): a conversation that resumes contiguously
+after >30 min of silence now emits a conservative ``gap`` flag it would not
+have before. At the 10^12-turn north star the default must be the one that
+cannot OOM the state store; callers whose streams carry long human pauses
+over a bounded conversation population pass ``None`` (or a larger deadline)
+explicitly.
 
 Reference parity: this is the streaming analog of C5/C6+contiguity — the
 reference's cardinality restrictions (lib/index.js:355-361) evaluated

@@ -127,6 +127,58 @@ def test_stored_monitor_replay_is_at_least_once_never_lossy(spark, docs, tmp_pat
     assert got == full
 
 
+def test_partial_grow_crash_is_healed_by_replay(spark, docs, tmp_path):
+    """Crash INSIDE grow() — features appended, buckets not (the write
+    order guarantees this is the only partial state). The replayed
+    increment must re-detect everything (an id counts as indexed only when
+    in BOTH tables), re-emit its pairs, and complete the buckets append —
+    leaving the store byte-equivalent to an uncrashed run. Keying replay
+    idempotency on features alone would lose the band rows forever."""
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+
+    pairs1, fresh = store.prepare(new)
+    # simulate the crash: only the features append lands
+    fresh.write.mode("append").parquet(store.features_path)
+    n_bucket_before = store.buckets().count()
+
+    replay = store.increment(new)          # the monitor's replayed batch
+    assert _pairset(replay) == _pairset(pairs1), \
+        "replay after partial grow must re-emit the full pair set"
+    assert store.buckets().count() > n_bucket_before
+    # store now equals an uncrashed end state: no dup rows either table
+    assert store.features().groupBy("id").count().where("count > 1").count() == 0
+    assert (store.buckets().groupBy("id", "band_no").count()
+            .where("count > 1").count() == 0)
+    # and a further replay is a clean no-op
+    assert store.increment(new).count() == 0
+
+
+def test_doctor_rebands_create_orphans(spark, docs, tmp_path):
+    """create()'s crash window (features written, buckets never) is healed
+    by doctor(), which re-bands the orphans from their stored signatures."""
+    import shutil
+
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+    reference = LshIndexStore(spark, str(tmp_path / "ref"), threshold=0.7)
+    reference.create(old)
+
+    shutil.rmtree(store.buckets_path)      # simulate the create() crash
+    healed = store.doctor()
+    n_feat = store.features().count()
+    assert n_feat > 0 and healed == n_feat
+    assert store.doctor() == 0             # consistent now
+    # healed store behaves identically to an uncrashed one
+    got = _pairset(store.increment(new))
+    exp = _pairset(reference.increment(new))
+    assert got == exp and got
+
+
 def test_store_increment_never_reads_stored_sig(spark, docs, tmp_path):
     """The whole point of storing the band keys: the increment's plan must
     touch the stored features only at (id, grams) — re-banding would show as

@@ -171,6 +171,30 @@ def test_referential_fold_memoized_per_catalog(spark, fixture60):
     assert runner._ref_fold_cache[0] is cat2
 
 
+def test_referential_fold_cache_opt_out_recollects(spark, fixture60):
+    """A DataFrame is a plan, not data: a catalog-table-backed object whose
+    underlying rows mutate between run() calls would serve stale keys from
+    the memo — cache_ref_catalog=False re-collects every run (round-4 review
+    finding)."""
+    df = fixture60.to_spark(spark)
+    catalog = fixture60.catalog_spark(spark)
+    plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
+    runner = ValidationRunner(plan, n_parts=4, cache_ref_catalog=False)
+
+    calls = {"n": 0}
+    orig_select = catalog.select
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig_select(*a, **k)
+
+    catalog.select = spy
+    runner.run(df, catalog=catalog)
+    runner.run(df, catalog=catalog)
+    del catalog.select
+    assert calls["n"] == 2, "opt-out must re-collect the catalog per run"
+
+
 def test_uniqueness_auto_consults_measured_profile(spark, fixture60):
     """Round-4 (SURVEY §4.2): with a measured skew profile, uniqueness='auto'
     is a row-count decision against the documented full/gated crossover —

@@ -287,7 +287,16 @@ def test_write_bucketed_guard_enforces_measured_skew(spark, fixture60, tmp_path)
 
         with _pytest.raises(ValueError, match="on_hot"):
             write_bucketed(df, "guard_bad", n_buckets=4, on_hot="explode")
+
+        # a stored profile stripped of its top list (the API invites stored
+        # profiles) still fires the guard — keylessly, never IndexError
+        bare = {"max_share": prof["max_share"], "n_rows": prof["n_rows"],
+                "n_keys": prof["n_keys"], "top": []}
+        with _pytest.raises(ValueError, match="no top list"):
+            write_bucketed(df, "guard_bare", n_buckets=4,
+                           path=str(tmp_path / "gb"), profile=bare,
+                           on_hot="raise")
     finally:
-        for t in ("guard_warn", "guard_raise", "guard_prof", "guard_clean",
+        for t in ("guard_warn", "guard_raise", "guard_prof", "guard_clean", "guard_bare",
                   "guard_override", "guard_bad"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
