@@ -13,7 +13,7 @@ Efficiency = (T_N / T_4N) / 4.
 
 Writes BENCH/scaling_last_run.{md,json} and prints one JSON line (BENCH/BASELINE.md
 is the hand-curated cross-boot record).
-Env: SPARK_GRAFT_SCALE_TURNS (default 80M), SPARK_GRAFT_SCALE_LEVELS ("2,8,32").
+Env: SPARK_GRAFT_SCALE_TURNS (default 240M), SPARK_GRAFT_SCALE_LEVELS ("2,8,32").
 """
 
 from __future__ import annotations
@@ -45,13 +45,8 @@ from owl2jsonschema_js_spark.spec import ConstraintSpec
 
 cpus = sys.argv[1]
 path = sys.argv[2]
-gen = len(sys.argv) > 3 and sys.argv[3] == "gen"
 spark = build_session(cpus)
 spark.sparkContext.setLogLevel("ERROR")
-if gen:
-    from owl2jsonschema_js_spark.datagen import gen_transcripts_spark
-    gen_transcripts_spark(spark, n_rows={n_turns}, n_convs=max(1000, {n_turns} // 200)) \
-        .write.mode("overwrite").parquet(path)
 df = spark.read.parquet(path)
 plan = compile_spec(ConstraintSpec.parse(transcript_constraints()), df.schema)
 runner = ValidationRunner(plan, n_parts=64)
@@ -72,7 +67,7 @@ import sys
 sys.path.insert(0, {repo!r})
 from bench import build_session
 from owl2jsonschema_js_spark.datagen import gen_transcripts_spark
-spark = build_session("32")
+spark = build_session(sys.argv[2])
 spark.sparkContext.setLogLevel("ERROR")
 gen_transcripts_spark(spark, n_rows={n_turns}, n_convs=max(1000, {n_turns} // 200)) \
     .write.mode("overwrite").parquet(sys.argv[1])
@@ -84,14 +79,17 @@ def generate(repo: str, path: str) -> None:
     """One corpus write at full parallelism BEFORE any timed level —
     generation is not part of the timing, so it should never ride the
     slowest level's thread count (a 240M-row write at local[2] wastes ~15
-    quiet-window minutes for nothing)."""
+    quiet-window minutes for nothing). Full = max(levels, host cpus): on a
+    host wider than 32 the untimed write should use all of it."""
+    threads = max([os.cpu_count() or 1] + LEVELS)
     code = GEN_CHILD.format(repo=repo, n_turns=N_TURNS)
-    subprocess.run([sys.executable, "-c", code, path], check=True, timeout=3600)
+    subprocess.run([sys.executable, "-c", code, path, str(threads)],
+                   check=True, timeout=3600)
 
 
-def run_level(repo: str, cpus: int, path: str, gen: bool = False) -> float:
+def run_level(repo: str, cpus: int, path: str) -> float:
     code = CHILD.format(repo=repo, n_turns=N_TURNS)
-    args = [sys.executable, "-c", code, str(cpus), path] + (["gen"] if gen else [])
+    args = [sys.executable, "-c", code, str(cpus), path]
     out = subprocess.run(args, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

@@ -183,14 +183,25 @@ class LshIndexStore:
         batch's pairs, since replayed ids are anti-joined out).
 
         Replay idempotency is keyed on BOTH tables: an id counts as indexed
-        only when it has a features row AND band rows. A replay after a
-        crash inside :meth:`grow` (features appended, buckets not yet)
-        therefore re-detects the whole increment — re-emitting its pairs
-        (at-least-once, dedup downstream on the caller's batch key) and
-        letting grow's per-table anti-joined appends heal the missing band
-        rows. Keying on features alone would make that crash permanent:
-        the replay would see "already indexed", append nothing, and every
-        future increment would silently miss pairs against this one.
+        only when it has a features row AND its full set of ``bands`` band
+        rows (a distinct-band count, not mere presence — a crash inside the
+        buckets append's job commit can move SOME task files before dying,
+        leaving an id with a partial band set; presence-keyed healing would
+        call that id done and lose the missing bands' recall forever). A
+        replay after a crash inside :meth:`grow` therefore re-detects the
+        whole increment — re-emitting its pairs (at-least-once, dedup
+        downstream on the caller's batch key) and letting grow's
+        anti-joined appends heal exactly the absent rows. Keying on
+        features alone would make that crash permanent: the replay would
+        see "already indexed", append nothing, and every future increment
+        would silently miss pairs against this one.
+
+        A features-only store (non-empty ``features/``, empty ``buckets/``
+        — the residue of a crashed :meth:`create`, which unlike increments
+        is not replay-healed) raises instead of running: every stored-side
+        candidate would be structurally absent, so an increment would
+        silently emit zero pairs against the entire seed corpus.
+        :meth:`doctor` repairs it.
 
         Both frames are eagerly localCheckpoint'ed: ``fresh`` because it
         feeds banding, verify and the eventual append; ``pairs`` because its
@@ -198,8 +209,18 @@ class LshIndexStore:
         :meth:`grow` would double the fresh rows into the grams join and the
         bucket-size guard. Candidate-bounded and increment-sized
         respectively, so both checkpoints are small by construction."""
+        buckets = self.buckets()
+        if buckets.isEmpty() and not self.features().isEmpty():
+            raise RuntimeError(
+                f"LSH store at {self.root!r} has features rows but no band "
+                "rows (crashed create()?): increments would silently find "
+                "zero pairs against the stored corpus. Run doctor() to "
+                "re-band the stored signatures, then retry.")
+        band_complete = (buckets.groupBy("id")
+                         .agg(F.count_distinct("band_no").alias("nb"))
+                         .where(F.col("nb") == self.bands).select("id"))
         fully_indexed = (self.features().select("id")
-                         .join(self.buckets().select("id"), "id", "left_semi"))
+                         .join(band_complete, "id", "left_semi"))
         fresh = (minhash_features(new_docs, self.n_hashes, self.shingle_k,
                                   self.id_col, self.text_col)
                  .join(fully_indexed, "id", "left_anti")
@@ -212,34 +233,50 @@ class LshIndexStore:
         Each append is independently anti-joined against its own table, so
         replaying a partially-grown increment completes it instead of
         duplicating rows (features first; the write order means features ⊇
-        buckets always holds, which :meth:`doctor` relies on). Both missing-
-        row frames are materialized BEFORE either write so neither append
-        job reads the path it is appending to."""
+        buckets always holds, which :meth:`doctor` relies on). The bucket
+        anti-join keys on (id, band_no), not id alone: a crash inside the
+        buckets append's job commit can land SOME of an id's band rows
+        (task files move sequentially), and id-keyed healing would declare
+        that id done forever — every band it lost would silently stop
+        generating candidates. Both missing-row frames are materialized
+        BEFORE either write so neither append job reads the path it is
+        appending to."""
         feat_missing = (fresh.join(self.features().select("id"),
                                    "id", "left_anti")
                         .localCheckpoint(eager=True))
         bucket_missing = (_banded(fresh, self.n_hashes, self.bands)
-                          .join(self.buckets().select("id"), "id", "left_anti")
+                          .join(self.buckets().select("id", "band_no"),
+                                ["id", "band_no"], "left_anti")
                           .localCheckpoint(eager=True))
         feat_missing.write.mode("append").parquet(self.features_path)
         bucket_missing.write.mode("append").partitionBy("band_no") \
             .parquet(self.buckets_path)
 
     def doctor(self) -> int:
-        """Repair path for ids with features rows but no band rows — the
-        residue of a crash inside :meth:`create` (whose two writes are a
-        one-time bootstrap, not replay-healed like increments). Re-bands
-        exactly the orphaned rows from their STORED signatures (the one code
-        path that reads the stored ``sig`` column — it is the repair lane,
-        not the increment hot path) and appends them. Returns the number of
-        ids healed; 0 means the store is consistent."""
-        orphans = (self.features()
-                   .join(self.buckets().select("id"), "id", "left_anti")
-                   .select("id", "sig").localCheckpoint(eager=True))
-        n = orphans.count()
+        """Repair path for ids whose band rows are missing or incomplete —
+        the residue of a crash inside :meth:`create` (whose two writes are a
+        one-time bootstrap, not replay-healed like increments) or inside a
+        buckets append's job commit (which can land a PARTIAL band set for
+        an id). Re-bands exactly the affected ids from their STORED
+        signatures (the one code path that reads the stored ``sig`` column —
+        it is the repair lane, not the increment hot path) and appends only
+        the absent (id, band_no) rows. Returns the number of ids healed;
+        0 means the store is consistent."""
+        have = self.buckets().select("id", "band_no")
+        complete = (have.groupBy("id")
+                    .agg(F.count_distinct("band_no").alias("nb"))
+                    .where(F.col("nb") == self.bands).select("id"))
+        broken = (self.features()
+                  .join(complete, "id", "left_anti")
+                  .select("id", "sig").localCheckpoint(eager=True))
+        # materialized before the write so the append job never reads the
+        # path it is appending to
+        missing = (_banded(broken, self.n_hashes, self.bands)
+                   .join(have, ["id", "band_no"], "left_anti")
+                   .localCheckpoint(eager=True))
+        n = broken.count()
         if n:
-            _banded(orphans, self.n_hashes, self.bands) \
-                .write.mode("append").partitionBy("band_no") \
+            missing.write.mode("append").partitionBy("band_no") \
                 .parquet(self.buckets_path)
         return n
 

@@ -213,10 +213,17 @@ def rhp_lsh_pairs(
                                        F.col(vec_col).alias("v"))
     # (id, band, bucket) ONLY rides the pair-generating self-join — wide
     # vectors are re-joined after candidate dedup (same discipline as
-    # minhash_lsh_pairs); persist so the pandas_udf signature pass runs once,
-    # not once per join side.
+    # minhash_lsh_pairs). localCheckpoint, NOT persist: the checkpointed RDD
+    # still computes the pandas_udf signature pass once across both join
+    # sides, but it is released by the ContextCleaner when the returned
+    # DataFrame is garbage-collected — persist() would pin both frames in
+    # the CacheManager for the session with no release handle, leaking one
+    # cached copy of the embedding table per call in long-lived sessions
+    # (the defect class the incremental-dedup kernel fixed in round 4;
+    # semantic_dedup_survivors calls this per corpus pass).
     keyed = base.select(
-        "id", F.posexplode(band_keys(F.col("v"))).alias("band_no", "bucket")).persist()
+        "id", F.posexplode(band_keys(F.col("v"))).alias("band_no", "bucket")
+    ).localCheckpoint(eager=False)
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(b, (F.col("a.band_no") == F.col("b.band_no"))
@@ -225,8 +232,9 @@ def rhp_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    # norms precomputed per id (once), not per candidate pair
-    vecs = base.withColumn("nrm", l2norm(F.col("v"))).persist()
+    # norms precomputed per id (once), not per candidate pair; lazy
+    # localCheckpoint for the same GC-released lifetime as `keyed`
+    vecs = base.withColumn("nrm", l2norm(F.col("v"))).localCheckpoint(eager=False)
     va = vecs.select(F.col("id").alias("a_id"), F.col("v").alias("va"),
                      F.col("nrm").alias("na"))
     vb = vecs.select(F.col("id").alias("b_id"), F.col("v").alias("vb"),

@@ -452,6 +452,12 @@ class ValidationRunner:
         else:
             use_gated = (self.uniqueness == "gated"
                          or (self.uniqueness == "auto" and gate_ok))
+        # gated needs the conversation aggregate to gate on: when
+        # uniqueness='gated' is forced but the plan has no group rules
+        # (gate_ok False), the full-key path is what actually executes —
+        # fold that in once so the dispatch below and the recorded
+        # last_uniqueness can't disagree about it
+        use_gated = use_gated and gate_ok
         self.last_uniqueness = "gated" if use_gated else "full"
         # full-mode CASCADE: the conversation aggregate rolls up from the
         # per-(conv, turn) key counts — ONE key-width partial-agg shuffle
@@ -478,13 +484,13 @@ class ValidationRunner:
                 df, self._grouped_from_keyed(keyed)))
         else:
             grouped = self._grouped(df) if want_group else None
-            if use_gated and gate_ok and grouped is not None:
+            if use_gated and grouped is not None:
                 # two consumers (group violations + dup gate) — persist the
                 # O(convs) intermediate so the conv shuffle isn't paid twice
                 grouped = grouped.persist()
                 cached.append(grouped)
             if t.unique_keys:
-                if use_gated and gate_ok:
+                if use_gated:
                     table_parts.append(self._uniqueness_violations_gated(df, grouped))
                 else:
                     table_parts.append(self._uniqueness_violations(df))

@@ -206,3 +206,83 @@ def test_store_increment_never_reads_stored_sig(spark, docs, tmp_path):
     assert not offending, f"stored sig column was scanned:\n{offending}"
     assert any(re.search(r"\bgrams#", s) for s in scans), \
         "plan gate should see the stored grams scan"
+
+
+def test_partial_band_set_crash_is_healed(spark, docs, tmp_path):
+    """Crash inside the BUCKETS append's job commit: task files move
+    sequentially, so an id can land with a partial band set (here: bands
+    0-3 of 8). Healing keyed on id presence would declare those ids done
+    and silently lose the missing bands' candidate recall forever; healing
+    must key on (id, band_no)."""
+    from owl2jsonschema_js_spark.operators.dedup import _banded
+
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+    reference = LshIndexStore(spark, str(tmp_path / "ref"), threshold=0.7)
+    reference.create(old)
+    exp = _pairset(reference.increment(new))
+
+    pairs1, fresh = store.prepare(new)
+    fresh = fresh.localCheckpoint(eager=True)  # survive the partial writes
+    # simulate the crash: features land, and only HALF of each id's bands
+    fresh.write.mode("append").parquet(store.features_path)
+    (_banded(fresh, store.n_hashes, store.bands)
+     .where(F.col("band_no") < store.bands // 2)
+     .write.mode("append").partitionBy("band_no").parquet(store.buckets_path))
+
+    replay = store.increment(new)
+    assert _pairset(replay) == _pairset(pairs1) == exp, \
+        "replay after a partial band-set crash must re-emit the full pair set"
+    # every indexed id now has its complete distinct band set, no dup rows
+    bad = (store.buckets().groupBy("id")
+           .agg(F.count_distinct("band_no").alias("nb"),
+                F.count(F.lit(1)).alias("n"))
+           .where((F.col("nb") != store.bands) | (F.col("n") != store.bands)))
+    assert bad.count() == 0
+    assert store.increment(new).count() == 0  # further replay: clean no-op
+
+
+def test_doctor_completes_partial_band_sets(spark, docs, tmp_path):
+    """doctor() must heal ids whose band set is merely INCOMPLETE (the
+    buckets-append crash residue), not only ids with zero band rows."""
+    from owl2jsonschema_js_spark.operators.dedup import _banded
+
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+    import shutil
+    shutil.rmtree(store.buckets_path)
+    # rebuild buckets with half of each id's bands missing
+    (_banded(store.features(), store.n_hashes, store.bands)
+     .where(F.col("band_no") < store.bands // 2)
+     .write.mode("error").partitionBy("band_no").parquet(store.buckets_path))
+
+    n_ids = store.features().count()
+    assert store.doctor() == n_ids
+    assert store.doctor() == 0
+    bad = (store.buckets().groupBy("id")
+           .agg(F.count_distinct("band_no").alias("nb"),
+                F.count(F.lit(1)).alias("n"))
+           .where((F.col("nb") != store.bands) | (F.col("n") != store.bands)))
+    assert bad.count() == 0
+
+
+def test_features_only_store_fails_loudly(spark, docs, tmp_path):
+    """A store left features-only by a crashed create() must raise in
+    prepare()/increment() instead of silently emitting zero pairs against
+    the entire stored corpus (every stored-side candidate is structurally
+    absent when buckets/ is empty)."""
+    import shutil
+
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = LshIndexStore(spark, str(tmp_path / "lsh"), threshold=0.7)
+    store.create(old)
+    shutil.rmtree(store.buckets_path)      # the create() crash residue
+
+    with pytest.raises(RuntimeError, match="doctor"):
+        store.increment(new)
+    assert store.doctor() > 0              # and doctor still repairs it
+    assert store.increment(new).count() > 0

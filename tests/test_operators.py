@@ -351,3 +351,17 @@ def test_semantic_dedup_survivors_deterministic(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     surv = semantic_dedup_survivors(emb, threshold=0.9, dim=8)
     assert sorted(r["vec_id"] for r in surv.collect()) == [1, 4, 5]
+
+
+def test_rhp_lsh_pairs_leaves_no_session_cache(spark, emb):
+    """rhp_lsh_pairs' internal signature/vector frames must be GC-released
+    localCheckpoints, not session-lifetime persists — semantic_dedup_survivors
+    calls it once per corpus pass and a long-lived session would otherwise
+    accumulate a cached copy of the embedding table per call (the defect
+    class the round-4 incremental-dedup kernel fix removed)."""
+    from owl2jsonschema_js_spark.operators.similarity import rhp_lsh_pairs
+
+    spark.catalog.clearCache()
+    assert rhp_lsh_pairs(emb, threshold=0.8).count() >= 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), \
+        "rhp_lsh_pairs registered a DataFrame persist with no release handle"

@@ -114,11 +114,15 @@ def test_lsh_band_join_carries_no_vectors(spark):
     assert "Input [2]" in input_line, input_line
     assert "a_id" in input_line and "b_id" in input_line, input_line
     assert "embedding" not in input_line and " v#" not in input_line, input_line
-    # single signature pass: the pandas_udf signature subtree is persisted, so
-    # every consumer (both self-join sides) reads the cache instead of
-    # re-running the matmul; and candidates come from the band-bucket
-    # equi-join, never a cartesian product
-    assert "InMemoryTableScan" in plan
+    # single signature pass: the pandas_udf signature subtree is a GC-released
+    # localCheckpoint (round-4 leak fix — persist() pinned two frames in the
+    # CacheManager per call with no release handle), so every consumer (both
+    # self-join sides) reads the checkpointed RDD instead of re-running the
+    # matmul: the plan scans ExistingRDD and contains NO ArrowEvalPython (the
+    # matmul already ran exactly once, inside the checkpoint); and candidates
+    # come from the band-bucket equi-join, never a cartesian product
+    assert "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
 
