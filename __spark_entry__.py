@@ -665,6 +665,61 @@ def q_cosine_pairs(spark, sf_dir):
                     F.round("score", 6).alias("score")))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: docs sharing any token 5-gram with a
+    held-out eval set (every ~97th doc stands in as an eval prompt; the
+    trivial self-pair is excluded). Eval grams broadcast; the corpus side is
+    one scan + explode into a BroadcastHashJoin — no corpus shuffle."""
+    from owl2jsonschema_js_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    out = decontaminate(docs, evals, n=5).where("doc_id != eval_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("eval_id").cast("bigint").alias("eval_id"),
+                      F.col("n_shared").cast("bigint").alias("n_shared"),
+                      F.round("eval_frac", 6).alias("eval_frac"))
+
+
+def q_pii_scan(spark, sf_dir):
+    """Corpus PII rollup over deterministically planted PII (the synthetic
+    corpus carries none): per-class totals + docs-with-any-PII count, one
+    row-local regexp scan + one O(1)-row aggregate."""
+    from owl2jsonschema_js_spark.operators.curation import pii_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat("text",
+                 F.when(F.col("doc_id") % 7 == 0, F.lit(" mail me: a@b.io"))
+                 .when(F.col("doc_id") % 7 == 1, F.lit(" host 192.168.0.12"))
+                 .when(F.col("doc_id") % 7 == 2, F.lit(" ssn 987-65-4320"))
+                 .otherwise(F.lit(""))))
+    return pii_scan(planted).agg(
+        F.sum("pii_email").cast("bigint").alias("n_email"),
+        F.sum("pii_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("pii_ssn").cast("bigint").alias("n_ssn"),
+        F.sum(F.when(F.col("pii_total") > 0, 1).otherwise(0))
+         .cast("bigint").alias("docs_with_pii"))
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic stratified hash sample (LCG over doc_id, bit-exact in
+    ANSI SQL): per-source kept counts + id checksum under a fixed mixture
+    plan — the reproducible-split primitive a 100 TB mixture pipeline needs
+    (same key ⇒ same verdict across runs, partitionings and engines)."""
+    from owl2jsonschema_js_spark.operators.curation import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    out = hash_sample(docs, rates, stratum_col="source")
+    return (out.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("id_sum"))
+            .orderBy("source"))
+
+
 def q_val_exists_violations(spark, sf_dir):
     """C8 someValuesFrom -> exists(): per-user event-type set must contain a
     'purchase' (items.anyOf + additionalItems:true on an array column)."""
@@ -1263,6 +1318,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collapse via dedup_survivors — this entry exercises the composed
         # lane end-to-end (deterministic planted mirrors, pytest-verified)
         "semantic_dedup": q_semantic_dedup,
+        # round-4 curation lanes (50-slot grading cap; each carries a DuckDB
+        # parity pytest in tests/test_curation.py instead of a registry row):
+        # eval-set decontamination, PII scan over planted spans, and the
+        # deterministic LCG stratified sample (bit-exact SQL twin)
+        "decontaminate": q_decontaminate,
+        "pii_scan": q_pii_scan,
+        "mixture_sample": q_mixture_sample,
     }
 
 

@@ -1,0 +1,248 @@
+"""Corpus-curation operators a training-data pipeline runs beside validation
+before a corpus reaches a trainer:
+
+ * eval-set decontamination — token n-gram overlap between a (small) held-out
+   eval table and the (huge) training corpus,
+ * PII detection + redaction — per-class regex counts and class-token
+   replacement, all JVM ``regexp_count`` / ``regexp_replace``,
+ * deterministic hash-based sampling — LCG-uniform per key, optionally
+   stratified by a column, reproducible in ANSI SQL bit-for-bit,
+ * mixture planning — per-source token budgets -> sampling rates.
+
+Scale posture: the corpus side never shuffles. Decontamination broadcasts the
+eval-set gram table (eval sets are thousands of prompts; the corpus is the
+100 TB side) so the doc gram stream meets it in a BroadcastHashJoin and the
+per-pair rollup is a partial-agg groupBy on (doc_id, eval_id) hit pairs — a
+set many orders of magnitude smaller than the corpus. PII scan/redact and
+hash sampling are row-local projections/filters (zero exchanges, plan-gated
+in tests). The mixture planner's only aggregate is an O(n_sources) rollup
+collected to a driver dict.
+
+Reference scope: the reference (redaktor/owl2jsonschema.js) stops at schema
+validation; these lanes extend SURVEY §2.3's pipeline mandate (dedup /
+similarity / text-analysis) with the curation steps that sit beside
+validation in a transcript pipeline. Semantics follow the public
+deduplication/decontamination literature (n-gram collision checks) and
+C4-style PII scrubbing — no reference code involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ngrams_col",
+    "decontaminate",
+    "PII_PATTERNS",
+    "pii_scan",
+    "pii_redact",
+    "hash_sample",
+    "mixture_rates",
+]
+
+
+# --------------------------------------------------------------------------
+# token n-grams as a column expression (shared by decontamination)
+# --------------------------------------------------------------------------
+
+def ngrams_col(text_col: str = "text", n: int = 5) -> Column:
+    """Array of space-joined token ``n``-grams of a text column — pure JVM
+    expressions (split -> sequence -> transform/slice), no Python. Texts with
+    fewer than ``n`` whitespace tokens yield an empty array (``sequence`` is
+    guarded: its stop never drops below its start)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # number of grams; sequence() needs start <= stop, so clamp at 0 and
+    # filter the sentinel out for short texts
+    n_grams = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# eval-set decontamination
+# --------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_id_col: str = "eval_id",
+                  eval_text_col: str = "text",
+                  min_shared: int = 1) -> DataFrame:
+    """Training docs whose token ``n``-grams collide with a held-out eval
+    set — the standard contamination check run before any corpus feeds a
+    trainer (an eval prompt whose n-grams appear verbatim in training data
+    poisons the benchmark).
+
+    Returns one row per contaminated (doc, eval item) pair::
+
+        (doc_id, eval_id, n_shared bigint, eval_frac double)
+
+    where ``n_shared`` counts DISTINCT shared n-grams and ``eval_frac`` is
+    the fraction of the eval item's distinct n-grams found in that doc
+    (1.0 == the doc contains every gram of the prompt).
+
+    Scale shape: the eval gram table (id, gram, per-id gram count) is
+    broadcast — eval sets are small by construction; the corpus side streams
+    through one scan + explode into a BroadcastHashJoin, then aggregates only
+    the HIT pairs. No corpus-wide shuffle, no corpus self-join.
+    """
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(ngrams_col(text_col, n))).alias("gram"))
+
+    eval_grams = eval_docs.select(
+        F.col(eval_id_col).alias("eval_id"),
+        F.explode(F.array_distinct(ngrams_col(eval_text_col, n))).alias("gram"))
+    # per-eval-item distinct gram count, carried on the broadcast side so the
+    # fraction needs no second join
+    eval_sized = eval_grams.withColumn(
+        "n_eval_grams", F.count("*").over(Window.partitionBy("eval_id")))
+
+    hits = doc_grams.join(F.broadcast(eval_sized), "gram")
+    out = (hits.groupBy("doc_id", "eval_id")
+           .agg(F.count("*").alias("n_shared"),
+                F.first("n_eval_grams").alias("n_eval_grams"))
+           .where(F.col("n_shared") >= min_shared)
+           .select("doc_id", "eval_id", "n_shared",
+                   (F.col("n_shared") / F.col("n_eval_grams")).alias("eval_frac")))
+    return out
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# RE2-compatible (no lookaround/backrefs) so the same pattern runs in Spark
+# (java.util.regex) and DuckDB (RE2) — oracle parity is tested. Counting is
+# per-class and independent; a token matching two classes counts in both
+# (documented, and redaction order below resolves replacement overlap
+# deterministically: longest/most-specific first).
+PII_PATTERNS: dict[str, str] = {
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scan(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text",
+             patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-doc PII hit counts, one scan, all JVM ``regexp_count``::
+
+        (doc_id, pii_email, pii_ipv4, ..., pii_total)
+
+    Row-local projection — zero exchanges (plan-gated). ``pii_total`` sums
+    the per-class counts, so cross-class overlaps count once per class."""
+    pats = patterns or PII_PATTERNS
+    if not pats:
+        raise ValueError("pii_scan needs at least one pattern")
+    counts = {k: F.regexp_count(F.col(text_col), F.lit(p)) for k, p in pats.items()}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        F.col(id_col),
+        *[v.alias(f"pii_{k}") for k, v in counts.items()],
+        total.alias("pii_total"))
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               patterns: dict[str, str] | None = None,
+               token: str = "[{cls}]") -> DataFrame:
+    """Replace every PII match with a class token (``[EMAIL]`` by default),
+    preserving all other columns. Replacement order is the dict's iteration
+    order — the default puts the most specific numeric shapes (credit card)
+    before substring-prone ones (phone/ssn), so a 16-digit card never leaks a
+    phone-shaped tail. Row-local, zero exchanges."""
+    pats = patterns or PII_PATTERNS
+    col = F.col(text_col)
+    for cls, p in pats.items():
+        col = F.regexp_replace(col, p, token.format(cls=cls.upper()))
+    return docs.withColumn(text_col, col)
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling + mixture planning
+# --------------------------------------------------------------------------
+
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648  # glibc LCG, mod 2^31
+
+
+_SALT_MIX = 2_654_435_761  # Knuth multiplicative-hash constant
+
+
+def _lcg_uniform(key: Column, salt: int) -> Column:
+    """Deterministic uniform in [0, 1) from an integral key — two multiplies
+    + mods in bigint space (inputs reduced mod 2^31 first so no product can
+    overflow int64). The salt folds in MULTIPLICATIVELY (``key + salt*Knuth``
+    before the LCG) — an additive post-LCG salt would only shift the uniform
+    by ``salt/2^31`` and leave the sampled set ~unchanged. Identical
+    arithmetic is expressible in ANSI SQL, so sampled row SETS (not just
+    rates) are oracle-checkable; salt=0 keeps the plain
+    ``(key*A + C) % 2^31`` form."""
+    k = (key.cast("bigint") + F.lit(salt * _SALT_MIX)) % _LCG_M
+    return (((k * _LCG_A + _LCG_C) % _LCG_M) / F.lit(float(_LCG_M)))
+
+
+def hash_sample(docs: DataFrame, rate: float | dict[str, float],
+                key_col: str = "doc_id", stratum_col: str | None = None,
+                salt: int = 0) -> DataFrame:
+    """Deterministic hash sample: keep a row iff ``lcg(key, salt) < rate``.
+
+    * ``rate`` a float — uniform sampling;
+    * ``rate`` a dict + ``stratum_col`` — per-stratum rates (unlisted strata
+      drop, the usual mixture-plan semantics).
+
+    Unlike ``df.sample()`` this is reproducible across runs, partitionings
+    and engines (the LCG is plain bigint arithmetic), is row-local (zero
+    exchanges), and the SAME key always resolves the same way — re-running a
+    grown corpus re-selects the old rows, so incremental pipelines don't
+    churn their sample. Different ``salt`` values draw independent samples
+    (held-out splits)."""
+    u = _lcg_uniform(F.col(key_col), salt)
+    if isinstance(rate, dict):
+        if stratum_col is None:
+            raise ValueError("per-stratum rates need stratum_col")
+        r: Column = F.lit(-1.0)  # unlisted strata never sampled
+        expr = None
+        for k, v in rate.items():
+            if not (0.0 <= v <= 1.0):
+                raise ValueError(f"rate for {k!r} out of [0,1]: {v}")
+            cond = F.col(stratum_col) == k
+            expr = F.when(cond, F.lit(float(v))) if expr is None else expr.when(cond, F.lit(float(v)))
+        r = expr.otherwise(r)
+    else:
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate out of [0,1]: {rate}")
+        r = F.lit(float(rate))
+    return docs.where(u < r)
+
+
+def mixture_rates(docs: DataFrame, weights: dict[str, float],
+                  budget_tokens: int, stratum_col: str = "source",
+                  token_count_col: Column | None = None) -> dict[str, float]:
+    """Turn a target mixture (per-source weights summing to ~1) and a total
+    token budget into per-source sampling rates for :func:`hash_sample`:
+    ``rate_s = min(1, weight_s * budget / tokens_s)``.
+
+    One O(n_sources) aggregate; the collected dict is driver state the size
+    of the source list, never the data. Sources absent from ``weights`` get
+    no rate (dropped by ``hash_sample``); a source whose budget share exceeds
+    its actual tokens caps at 1.0 (callers wanting oversampling handle
+    repetition upstream — deterministic sampling cannot mint new rows)."""
+    from owl2jsonschema_js_spark.operators.textstats import token_count
+
+    tc = token_count_col if token_count_col is not None else token_count()
+    totals = {r["s"]: r["t"] for r in
+              docs.groupBy(F.col(stratum_col).alias("s"))
+                  .agg(F.sum(tc).alias("t")).collect()}
+    out: dict[str, float] = {}
+    for s, w in weights.items():
+        toks = totals.get(s, 0)
+        out[s] = 1.0 if toks == 0 else min(1.0, (w * budget_tokens) / toks)
+    return out

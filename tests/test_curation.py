@@ -1,0 +1,227 @@
+"""Curation-lane tests: eval-set decontamination, PII scan/redact,
+deterministic hash sampling + mixture planning — exact expectations on hand
+fixtures, DuckDB oracle parity on the driver corpus, and zero-exchange /
+broadcast plan gates."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.operators.curation import (
+    PII_PATTERNS, decontaminate, hash_sample, mixture_rates, ngrams_col,
+    pii_redact, pii_scan)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+# --------------------------------------------------------------------- ngrams
+
+def test_ngrams_col_basic_and_short(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "   x   y  z ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", ngrams_col("text", 3).alias("g")).collect()}
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []           # fewer tokens than n
+    assert got[3] == []
+    assert got[4] == ["x y z"]    # trim + multi-space split
+
+
+# ------------------------------------------------------------- decontaminate
+
+def test_decontaminate_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),      # full prompt inside
+         (2, "xx alpha beta gamma delta yy"),             # one 4-gram overlap
+         (3, "totally unrelated words here entirely")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "eval_id long, text string")
+    got = {(r["doc_id"], r["eval_id"]): (r["n_shared"], r["eval_frac"])
+           for r in decontaminate(train, evals, n=4).collect()}
+    # eval has 2 distinct 4-grams; doc 1 contains both, doc 2 only the first
+    assert got[(1, 100)] == (2, 1.0)
+    assert got[(2, 100)] == (1, 0.5)
+    assert (3, 100) not in got
+
+
+def test_decontaminate_self_superset_of_exact_dups(spark, docs):
+    """Every exact-dup text pair must show as full contamination of itself."""
+    sample = docs.limit(80).cache()
+    dup_texts = [r["text"] for r in sample.groupBy("text").count()
+                 .where("count > 1").collect()]
+    evals = sample.select(F.col("doc_id").alias("eval_id"), "text")
+    pairs = decontaminate(sample, evals, n=3).where("doc_id != eval_id")
+    hit_docs = {r["doc_id"] for r in pairs.where("eval_frac = 1.0").collect()}
+    for t in dup_texts:
+        ids = [r["doc_id"] for r in sample.where(F.col("text") == t).collect()]
+        if len(t.split()) >= 3:
+            assert set(ids) <= hit_docs
+    sample.unpersist()
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark, docs):
+    evals = docs.limit(5).select(F.col("doc_id").alias("eval_id"), "text")
+    plan = decontaminate(docs, evals, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ----------------------------------------------------------------------- PII
+
+PII_TEXT = ("write to alice.smith+x@example.co.uk or call 555-867-5309, "
+            "server at 10.0.0.1, ssn 123-45-6789, card 4111-1111-1111-1111")
+
+
+def test_pii_scan_exact_counts(spark):
+    df = spark.createDataFrame([(1, PII_TEXT), (2, "no pii here at all")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in pii_scan(df).collect()}
+    assert rows[1]["pii_email"] == 1
+    assert rows[1]["pii_phone"] == 1
+    assert rows[1]["pii_ipv4"] == 1
+    assert rows[1]["pii_ssn"] == 1
+    assert rows[1]["pii_credit_card"] == 1
+    assert rows[1]["pii_total"] == 5
+    assert rows[2]["pii_total"] == 0
+
+
+def test_pii_redact_replaces_and_preserves(spark):
+    df = spark.createDataFrame([(1, PII_TEXT, "keep")],
+                               "doc_id long, text string, other string")
+    out = pii_redact(df).collect()[0]
+    t = out["text"]
+    for tok in ("[EMAIL]", "[PHONE]", "[IPV4]", "[SSN]", "[CREDIT_CARD]"):
+        assert tok in t
+    # no raw digits of the sensitive spans survive
+    for leak in ("4111", "123-45-6789", "867-5309", "10.0.0.1", "@example"):
+        assert leak not in t
+    assert out["other"] == "keep"
+    # clean text passes through byte-identical
+    clean = spark.createDataFrame([(2, "just words")], "doc_id long, text string")
+    assert pii_redact(clean).collect()[0]["text"] == "just words"
+
+
+def test_pii_credit_card_never_leaks_phone_tail(spark):
+    """Redaction order: the 16-digit card is consumed before the phone rule
+    can bite a 3-3-4 shaped tail out of it."""
+    df = spark.createDataFrame([(1, "pay 4111-1111-1111-1111 now")],
+                               "doc_id long, text string")
+    t = pii_redact(df).collect()[0]["text"]
+    assert t == "pay [CREDIT_CARD] now"
+
+
+def test_pii_scan_zero_exchange_plan(spark, docs):
+    plan = pii_scan(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_duckdb_parity_on_corpus(spark, docs):
+    """Same RE2-safe patterns, same counts, Spark vs DuckDB, on the driver
+    corpus with deterministically planted PII."""
+    planted = docs.withColumn(
+        "text",
+        F.concat("text", F.when(F.col("doc_id") % 7 == 0, F.lit(" mail me: a@b.io"))
+                 .when(F.col("doc_id") % 7 == 1, F.lit(" host 192.168.0.12"))
+                 .when(F.col("doc_id") % 7 == 2, F.lit(" ssn 987-65-4320"))
+                 .otherwise(F.lit(""))))
+    got = (pii_scan(planted).agg(
+        F.sum("pii_email").alias("e"), F.sum("pii_ipv4").alias("i"),
+        F.sum("pii_ssn").alias("s"), F.sum("pii_total").alias("t"))
+        .collect()[0])
+    con = duckdb.connect()
+    e_pat, i_pat, s_pat = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+                           PII_PATTERNS["ssn"])
+    want = con.execute(f"""
+        WITH planted AS (
+          SELECT text || CASE WHEN doc_id % 7 = 0 THEN ' mail me: a@b.io'
+                              WHEN doc_id % 7 = 1 THEN ' host 192.168.0.12'
+                              WHEN doc_id % 7 = 2 THEN ' ssn 987-65-4320'
+                              ELSE '' END AS text
+          FROM '{SF}/documents.parquet')
+        SELECT sum(len(regexp_extract_all(text, '{e_pat}'))),
+               sum(len(regexp_extract_all(text, '{i_pat}'))),
+               sum(len(regexp_extract_all(text, '{s_pat}')))
+        FROM planted
+    """).fetchone()
+    assert (got["e"], got["i"], got["s"]) == want
+    assert got["t"] >= got["e"] + got["i"] + got["s"]
+
+
+# ------------------------------------------------------------------ sampling
+
+def test_hash_sample_deterministic_and_sql_parity(spark, docs):
+    kept = hash_sample(docs, 0.25).select("doc_id")
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in hash_sample(docs, 0.25).select("doc_id").collect())
+    assert ids1 == ids2 and 0 < len(ids1) < 1000
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(f"""
+        SELECT doc_id FROM '{SF}/documents.parquet'
+        WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+              < 0.25 * 2147483648
+        ORDER BY doc_id
+    """).fetchall()]
+    assert ids1 == want
+
+
+def test_hash_sample_salt_draws_independent_split(spark, docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.3, salt=0).collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, salt=777).collect()}
+    assert a != b
+    # roughly independent: overlap near 0.09 of corpus, not near 0.3
+    assert len(a & b) < 0.2 * 1000
+
+
+def test_hash_sample_stratified_rates_and_drop(spark, docs):
+    rates = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    out = hash_sample(docs, rates, stratum_col="source")
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("src0") == 25          # rate 1.0 keeps everything
+    assert "src1" not in by_src              # rate 0.0
+    assert 0 < by_src.get("src2", 0) < 25    # rate 0.5 keeps a strict subset
+    assert set(by_src) <= {"src0", "src2"}   # unlisted strata drop
+
+
+def test_hash_sample_zero_exchange_plan(spark, docs):
+    plan = hash_sample(docs, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_rejects_bad_rates(spark, docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        hash_sample(docs, {"src0": -0.1}, stratum_col="source")
+    with pytest.raises(ValueError):
+        hash_sample(docs, {"src0": 0.5})  # dict rates need stratum_col
+
+
+def test_mixture_rates_budget_math(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "a") for i in range(10)] +       # a: 100 tokens
+        [(i + 10, "w " * 10, "b") for i in range(5)],    # b: 50 tokens
+        "doc_id long, text string, source string")
+    rates = mixture_rates(df, {"a": 0.5, "b": 0.5}, budget_tokens=50,
+                          stratum_col="source")
+    assert rates["a"] == pytest.approx(0.25)   # 25 of 100 tokens
+    assert rates["b"] == pytest.approx(0.5)    # 25 of 50 tokens
+    capped = mixture_rates(df, {"b": 1.0}, budget_tokens=10_000,
+                           stratum_col="source")
+    assert capped["b"] == 1.0                  # cannot oversample
+
+
+def test_mixture_to_sample_end_to_end(spark, docs):
+    rates = mixture_rates(docs, {"src0": 0.5, "src1": 0.5},
+                          budget_tokens=200, stratum_col="source")
+    out = hash_sample(docs, rates, stratum_col="source")
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1"} and srcs
