@@ -133,7 +133,12 @@ def _time_dedup_survivors(spark: SparkSession, sf_dir: str) -> float:
     most was the pairs subtree + contention). The pairs table is persisted
     and materialized OUTSIDE the timed region; the timed region is the
     pointer-jumped label loop + the dropped-member projection — the
-    incremental cost a pipeline actually adds after LSH."""
+    incremental cost a pipeline actually adds after LSH. Round 4: below the
+    measured small_graph_max edge threshold dup_clusters resolves components
+    with a driver union-find (bounded, documented driver state) — this corpus
+    lands there, so the row now times the fast path a production pipeline
+    would take; the distributed O(log D) loop stays measured by
+    bench_cc_diameter.py (forced small_graph_max=0, 10k-node chain)."""
     from pyspark.sql import functions as F
 
     from owl2jsonschema_js_spark.operators.dedup import dup_clusters, minhash_lsh_pairs

@@ -40,7 +40,10 @@ def main() -> None:
 
     stats: dict = {}
     t0 = time.perf_counter()
-    cl = dup_clusters(pairs, max_iter=64, stats=stats,
+    # small_graph_max=0: this bench exists to measure the DISTRIBUTED loop's
+    # O(log D) round count — the driver union-find fast path (which would
+    # otherwise absorb a 10k-edge chain in milliseconds) is deliberately off
+    cl = dup_clusters(pairs, max_iter=64, stats=stats, small_graph_max=0,
                       defer_checks=max(0, int(math.log2(DIAMETER)) - 3))
     agg = cl.agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")).first()

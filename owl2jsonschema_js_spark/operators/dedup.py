@@ -29,6 +29,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
@@ -334,7 +335,8 @@ def minhash_lsh_pairs_incremental(
 def dup_clusters(pairs: DataFrame, max_iter: int = 20,
                  a_col: str = "a_id", b_col: str = "b_id",
                  defer_checks: int = 0,
-                 stats: dict | None = None) -> DataFrame:
+                 stats: dict | None = None,
+                 small_graph_max: int = 250_000) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster_id), where
     cluster_id is the component's minimum id.
 
@@ -360,15 +362,61 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     the caller knows the graph is deep. Only ids that appear in some pair
     are returned (singletons are their own survivors by definition).
 
-    ``stats``, if given, records {'rounds': n} — the number of label-update
-    rounds executed (the O(log D) convergence contract is asserted on this in
-    tests). The result is returned PERSISTED and materialized — call
-    ``.unpersist()`` on it when done in long-lived sessions; every loop
-    iterate is released before return."""
+    ``stats``, if given, records {'rounds': n, 'mode': ...} — the number of
+    label-update rounds executed (the O(log D) convergence contract is
+    asserted on this in tests). The result is returned PERSISTED and
+    materialized — call ``.unpersist()`` on it when done in long-lived
+    sessions; every loop iterate is released before return.
+
+    **Small-graph fast path**: post-LSH(+verify) pair sets are typically
+    orders of magnitude smaller than the corpus; when the measured
+    (symmetrized, distinct) edge count is at most ``small_graph_max``, the
+    component labels are computed by a driver-side union-find instead of the
+    iterative join loop — the distributed loop's per-round fixed cost (3
+    joins + an agg × O(log D) rounds) is pure overhead in that regime (a
+    477-node graph measured ~9s through the loop vs milliseconds through
+    union-find). Driver state is bounded and documented: ≤ 2·small_graph_max
+    narrow (src, dst) rows ≈ 8 MB at the 250k default — the same O(small)
+    discipline as the runner's ≤10k-key referential fold. ``defer_checks``
+    is loop-only and ignored on this path; ``stats['mode']`` records which
+    path ran ('driver' | 'distributed'), with 'rounds' = 0 for driver. Pass
+    ``small_graph_max=0`` to force the distributed loop (tests protecting
+    the O(log D) claim do). At 10^12-row scale pair sets can exceed any
+    driver budget — the loop remains the default above the threshold."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
              .distinct().persist())
+    n_edges = edges.count()  # one job; fills the cache both paths reuse
+    if n_edges <= small_graph_max:
+        rows = edges.collect()  # bounded: <= 2 * small_graph_max narrow rows
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = find(row[0]), find(row[1])
+            if a != b:
+                if b < a:
+                    a, b = b, a
+                parent[b] = a  # union by min: roots stay component minima
+        id_type = edges.schema["src"].dataType
+        edges.unpersist()
+        out_schema = T.StructType([T.StructField("id", id_type),
+                                   T.StructField("cluster_id", id_type)])
+        data = [(i, find(i)) for i in {row[0] for row in rows}]
+        if stats is not None:
+            stats.update(rounds=0, mode="driver", n_edges=n_edges)
+        final = pairs.sparkSession.createDataFrame(data, out_schema).persist()
+        final.count()
+        return final
+
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
     rounds = 0
@@ -422,7 +470,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
             prev_sum = cur_sum
     edges.unpersist()
     if stats is not None:
-        stats["rounds"] = rounds
+        stats.update(rounds=rounds, mode="distributed", n_edges=n_edges)
     # deterministic ownership: materialize the final result as ITS OWN cached
     # frame, release every iterate, and hand the caller a DataFrame whose
     # .unpersist() actually frees it (an unpersist through a rename-projection

@@ -168,7 +168,13 @@ def test_dup_clusters_empty_pairs_converges_immediately(spark):
 
     pairs = spark.createDataFrame([], "a_id long, b_id long")
     stats = {}
-    res = dup_clusters(pairs, max_iter=20, stats=stats)
+    # forced distributed: this regression-tests the LOOP's NULL-sum fixpoint
+    res = dup_clusters(pairs, max_iter=20, stats=stats, small_graph_max=0)
     assert res.count() == 0
     res.unpersist()
     assert stats["rounds"] <= 2, stats
+    # the driver fast path must also hand back a correctly-typed empty frame
+    res2 = dup_clusters(pairs, max_iter=20, stats=stats)
+    assert res2.count() == 0 and stats["mode"] == "driver"
+    assert [f.name for f in res2.schema.fields] == ["id", "cluster_id"]
+    res2.unpersist()

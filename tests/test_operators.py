@@ -223,8 +223,14 @@ def test_dup_clusters_transitive_components(spark):
 
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6), (9, 3)],
                                   "a_id long, b_id long")
+    # default path (driver union-find at this size) and the forced
+    # distributed loop must agree exactly
     out = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    stats = {}
+    dist = {r["id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, small_graph_max=0, stats=stats).collect()}
+    assert dist == out and stats["mode"] == "distributed"
 
 
 def test_dedup_survivors_one_per_cluster_plus_singletons(spark):
@@ -247,7 +253,9 @@ def test_dup_clusters_long_chain_converges_via_pointer_jumping(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(39)],
                                   "a_id long, b_id long")
     stats = {}
-    res = dup_clusters(pairs, max_iter=20, stats=stats)
+    # small_graph_max=0 forces the distributed loop — this test protects the
+    # O(log D) round bound, which the driver fast path would bypass
+    res = dup_clusters(pairs, max_iter=20, stats=stats, small_graph_max=0)
     out = res.collect()
     res.unpersist()
     assert len(out) == 40
@@ -255,6 +263,35 @@ def test_dup_clusters_long_chain_converges_via_pointer_jumping(spark):
     # O(log D) contract: ~2*log2(40)+slack, nowhere near the plain-propagation
     # bound of 39 rounds
     assert stats["rounds"] <= 12, stats
+
+
+def test_dup_clusters_driver_path_equals_loop_on_mixed_graph(spark):
+    """Driver union-find == forced distributed loop, exactly, on a graph
+    mixing chains, stars, singleton pairs and a merge edge (deterministic
+    LCG edge set); also exercises string ids through the fast path."""
+    from owl2jsonschema_js_spark.operators.dedup import dup_clusters
+
+    edges = [(i, i + 1) for i in range(0, 30)]                # chain
+    edges += [(100, 100 + j) for j in range(1, 8)]            # star
+    edges += [(200, 201), (300, 301)]                         # islands
+    edges += [(30, 100)]                                      # chain~star merge
+    edges += [((i * 48271) % 97 + 400, (i * 16807) % 89 + 400)
+              for i in range(40)]                             # pseudo-random
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    fast = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    stats = {}
+    slow = {r["id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, small_graph_max=0, max_iter=30,
+                                  stats=stats).collect()}
+    assert stats["mode"] == "distributed"
+    assert fast == slow
+    # chain and star collapsed into one component labeled by the chain min
+    assert fast[107] == 0 and fast[30] == 0
+
+    s_pairs = spark.createDataFrame([("b", "c"), ("a", "b"), ("x", "y")],
+                                    "a_id string, b_id string")
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(s_pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_dup_clusters_adversarial_chain_round_count(spark):
@@ -271,7 +308,7 @@ def test_dup_clusters_adversarial_chain_round_count(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(d - 1)],
                                   "a_id long, b_id long")
     stats = {}
-    res = dup_clusters(pairs, max_iter=25, stats=stats)
+    res = dup_clusters(pairs, max_iter=25, stats=stats, small_graph_max=0)
     out = res.collect()
     res.unpersist()
     assert len(out) == d and all(r["cluster_id"] == 0 for r in out)
