@@ -720,6 +720,20 @@ def q_mixture_sample(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget shard layout (exact global cumsum in doc_id order via
+    the two-pass partition-offset pattern — no single-reducer window):
+    per-shard doc/token rollup at a 2,000-token budget."""
+    from owl2jsonschema_js_spark.operators.curation import pack_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_shards(docs, budget_tokens=2000)
+    return (out.groupBy("shard_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens"))
+            .orderBy("shard_id"))
+
+
 def q_val_exists_violations(spark, sf_dir):
     """C8 someValuesFrom -> exists(): per-user event-type set must contain a
     'purchase' (items.anyOf + additionalItems:true on an array column)."""
@@ -1325,6 +1339,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scan": q_pii_scan,
         "mixture_sample": q_mixture_sample,
+        "pack_shards": q_pack_shards,
     }
 
 

@@ -28,6 +28,8 @@ C4-style PII scrubbing — no reference code involved.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -221,6 +223,79 @@ def hash_sample(docs: DataFrame, rate: float | dict[str, float],
             raise ValueError(f"rate out of [0,1]: {rate}")
         r = F.lit(float(rate))
     return docs.where(u < r)
+
+
+def pack_shards(docs: DataFrame, budget_tokens: int,
+                id_col: str = "doc_id",
+                token_count_col: Column | None = None,
+                n_parts: int | None = None) -> DataFrame:
+    """Assign every doc a training-shard id by EXACT global token cumsum in
+    ``id_col`` order: ``shard_id = tokens_before_this_doc // budget_tokens``
+    — the deterministic doc→shard layout a trainer's data loader needs
+    (greedy sequential fill; a shard overshoots its budget by at most one
+    document, never undershoots out of order).
+
+    A naive Spark spelling — ``sum().over(Window.orderBy(id))`` with no
+    partition key — funnels the whole table through ONE reducer. This is the
+    scale-correct two-pass shape instead:
+
+      1. the narrow (id, tokens) projection is range-partitioned on id and
+         sorted within partitions (one shuffle of two columns, never the
+         corpus),
+      2. per-partition token sums roll up to the driver (O(n_partitions)
+         rows), a prefix scan turns them into per-partition global offsets,
+      3. one Arrow pass re-walks each partition carrying (offset + running
+         sum) across batches — same cross-batch-carry discipline as the
+         turn-gap window in ``order.py``.
+
+    Range-partition boundaries are sample-based and may vary run to run, but
+    the assignment is boundary-invariant: offsets are computed from the
+    actual sums of the actual partitions in range order, so only the global
+    order matters — ``id_col`` must therefore be unique (it is a key).
+    Returns (id, n_tokens, shard_id); join back on id if shard routing
+    should ride the full rows."""
+    from owl2jsonschema_js_spark.operators.textstats import token_count
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    tc = token_count_col if token_count_col is not None else token_count()
+    narrow = docs.select(F.col(id_col).alias("id"),
+                         tc.cast("bigint").alias("n_tokens"))
+    n_parts = n_parts or narrow.sparkSession.sparkContext.defaultParallelism
+    # eager localCheckpoint FREEZES the (sample-based) range boundaries: the
+    # offsets job and the assignment pass below are separate actions, and an
+    # unpinned lineage would re-sample — offsets computed on one partitioning
+    # must not be applied to another. GC reclaims the checkpoint RDD with the
+    # returned frame (the repo-wide release pattern for internal frames).
+    ranged = (narrow.repartitionByRange(n_parts, "id")
+              .sortWithinPartitions("id")
+              .withColumn("part", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    part_sums = {r["part"]: r["s"] for r in
+                 ranged.groupBy("part").agg(F.sum("n_tokens").alias("s")).collect()}
+    offsets, acc = {}, 0
+    for p in sorted(part_sums):
+        offsets[p] = acc
+        acc += part_sums[p]
+
+    budget = int(budget_tokens)
+    out_schema = ("id " + ranged.schema["id"].dataType.simpleString()
+                  + ", n_tokens bigint, shard_id bigint")
+
+    def assign(batches):
+        run = None  # tokens before the current row, carried across batches
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["part"].iloc[0])]
+            cum_before = run + pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+            run += int(pdf["n_tokens"].sum())
+            yield pd.DataFrame({"id": pdf["id"],
+                                "n_tokens": pdf["n_tokens"],
+                                "shard_id": cum_before // budget})
+
+    return ranged.mapInPandas(assign, out_schema)
 
 
 def mixture_rates(docs: DataFrame, weights: dict[str, float],

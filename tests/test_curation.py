@@ -205,6 +205,55 @@ def test_hash_sample_rejects_bad_rates(spark, docs):
         hash_sample(docs, {"src0": 0.5})  # dict rates need stratum_col
 
 
+def test_pack_shards_matches_sql_window_cumsum(spark, docs):
+    """Two-pass partition-offset cumsum == DuckDB's single-window oracle,
+    row for row, and is invariant to the number of range partitions."""
+    from owl2jsonschema_js_spark.operators.curation import pack_shards
+
+    got = {r["id"]: (r["n_tokens"], r["shard_id"])
+           for r in pack_shards(docs, budget_tokens=500, n_parts=5).collect()}
+    got7 = {r["id"]: (r["n_tokens"], r["shard_id"])
+            for r in pack_shards(docs, budget_tokens=500, n_parts=7).collect()}
+    assert got == got7                       # boundary invariance
+    con = duckdb.connect()
+    want = {r[0]: (r[1], r[2]) for r in con.execute(f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+          FROM '{SF}/documents.parquet')
+        SELECT doc_id, n,
+               (sum(n) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n) // 500 AS shard
+        FROM t
+    """).fetchall()}
+    assert got == want
+
+
+def test_pack_shards_fill_properties(spark):
+    from owl2jsonschema_js_spark.operators.curation import pack_shards
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame([(i, "w " * (i % 13 + 1)) for i in range(200)],
+                               "doc_id long, text string")
+    out = pack_shards(df, budget_tokens=50, n_parts=4).cache()
+    shards = {r["shard_id"]: r["tok"] for r in
+              out.groupBy("shard_id").agg(F2.sum("n_tokens").alias("tok")).collect()}
+    max_doc = 13
+    assert sorted(shards) == list(range(len(shards)))   # contiguous ids
+    for s, tok in shards.items():
+        if s != max(shards):
+            # a shard may start mid-overshoot of its predecessor and may
+            # itself overshoot by one doc: budget ± (max_doc - 1)
+            assert 50 - (max_doc - 1) <= tok <= 50 + max_doc - 1
+    # shard assignment is monotone in doc order
+    rows = sorted((r["id"], r["shard_id"]) for r in out.collect())
+    assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
+    out.unpersist()
+    with pytest.raises(ValueError):
+        pack_shards(df, budget_tokens=0)
+
+
 def test_mixture_rates_budget_math(spark):
     df = spark.createDataFrame(
         [(i, "w " * 10, "a") for i in range(10)] +       # a: 100 tokens
