@@ -734,6 +734,19 @@ def q_pack_shards(spark, sf_dir):
             .orderBy("shard_id"))
 
 
+def q_substring_dups(spark, sf_dir):
+    """Span-level dedup: maximal cross-doc repeated byte spans >= 60 bytes
+    (winnowing anchors -> bounded hash join -> verified extension); the
+    lane exact-duplicate and boilerplate detection share at 100 TB."""
+    from owl2jsonschema_js_spark.operators.substring import substring_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    out = substring_dups(docs, min_len=60, k=16)
+    return out.select(F.col("a_id").cast("bigint").alias("a_id"),
+                      F.col("b_id").cast("bigint").alias("b_id"),
+                      "a_start", "b_start", "length")
+
+
 def q_val_exists_violations(spark, sf_dir):
     """C8 someValuesFrom -> exists(): per-user event-type set must contain a
     'purchase' (items.anyOf + additionalItems:true on an array column)."""
@@ -1340,6 +1353,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
+        "substring_dups": q_substring_dups,
     }
 
 

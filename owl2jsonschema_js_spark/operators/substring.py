@@ -1,0 +1,175 @@
+"""Exact repeated-substring detection across documents — the span-level
+dedup lane (public semantics: Lee et al., "Deduplicating Training Data Makes
+Language Models Better", and Schleimer et al.'s winnowing): find every pair
+of documents sharing a verbatim byte span of at least ``min_len``, with the
+maximal span's exact offsets.
+
+Shape (the suffix-array replacement that distributes):
+
+ 1. **Anchors** — per doc, rolling polynomial hashes of char ``k``-grams;
+    winnowing selects the min-hash position of every sliding window of
+    ``window = min_len - k + 1`` consecutive hashes. The winnowing guarantee
+    makes detection EXACT, not probabilistic: any shared substring of length
+    >= window + k - 1 = ``min_len`` contains at least one selected
+    (hash, relative-position) pair on both sides — selection depends only on
+    bytes inside the shared region. Anchor density is ~2/(window+1) of
+    positions, so the exploded anchor table is a bounded fraction of corpus
+    bytes.
+ 2. **Candidate pairs** — anchors self-join on hash (ids + positions only,
+    no text rides the shuffle), with an LSH-style hot-bucket guard: a hash
+    seen in more than ``max_bucket`` docs (boilerplate) is dropped and
+    counted, preventing the quadratic blowup.
+ 3. **Verify + extend** — per candidate pair, both texts are fetched ONCE
+    (key-width joins after pair-level dedup), and one Arrow pass extends
+    each anchor to its maximal equal span (byte compare — hash collisions
+    are verified away), deduplicating anchors that land inside an
+    already-extended span on the same alignment diagonal, so total work per
+    pair is O(anchors + matched bytes).
+
+Positions are BYTE offsets of the UTF-8 encoding (exact for the ASCII
+corpus; for multibyte text the span edges are still byte-exact but may split
+a codepoint — callers slicing codepoints should round inward).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["winnow_anchor_table", "substring_dups"]
+
+_B, _M = 131, (1 << 31) - 1  # polynomial base / 31-bit Mersenne modulus
+
+
+def _weights(k: int) -> np.ndarray:
+    w = np.empty(k, dtype=np.int64)
+    acc = np.int64(1)
+    for j in range(k - 1, -1, -1):
+        w[j] = acc
+        acc = (acc * _B) % _M
+    return w
+
+
+def winnow_anchor_table(docs: DataFrame, k: int = 16, window: int = 35,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, pos, h): winnowing-selected k-gram anchors WITH byte positions —
+    the positional sibling of ``textstats.winnow_fingerprints``. One windowed
+    matmul + windowed argmin per document (numpy over Arrow batches)."""
+    if k < 2 or window < 1:
+        raise ValueError(f"need k >= 2 and window >= 1, got k={k} window={window}")
+    id_t = docs.schema[id_col].dataType.simpleString()
+    weights = _weights(k)
+    kk, ww = k, window
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for i, t in zip(pdf["id"], pdf["text"]):
+                b = np.frombuffer((t or "").encode("utf-8", "ignore"),
+                                  dtype=np.uint8).astype(np.int64)
+                if b.size < kk:
+                    continue
+                h = (np.lib.stride_tricks.sliding_window_view(b, kk) @ weights) % _M
+                if h.size <= ww:
+                    p = np.array([int(h.argmin())])
+                else:
+                    wv = np.lib.stride_tricks.sliding_window_view(h, ww)
+                    p = np.unique(wv.argmin(axis=1) + np.arange(wv.shape[0]))
+                ids.append(np.full(p.size, i))
+                poss.append(p)
+                hs.append(h[p])
+            if ids:
+                yield pd.DataFrame({"id": np.concatenate(ids),
+                                    "pos": np.concatenate(poss).astype(np.int32),
+                                    "h": np.concatenate(hs)})
+
+    narrow = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    return narrow.mapInPandas(gen, f"id {id_t}, pos int, h long")
+
+
+def substring_dups(docs: DataFrame, min_len: int = 50, k: int = 16,
+                   max_bucket: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   stats: dict | None = None) -> DataFrame:
+    """All maximal cross-doc repeated byte spans of length >= ``min_len``:
+    (a_id, b_id, a_start, b_start, length), a_id < b_id. Detection of every
+    qualifying span is GUARANTEED by the winnowing bound (window is derived
+    as ``min_len - k + 1``); emitted spans are verified byte ranges, never
+    hash trust. ``stats`` (optional) records {'hot_buckets': n} — the count
+    of boilerplate hashes the ``max_bucket`` guard dropped (a dropped hash
+    can only hide spans that OTHER anchors of the same span usually still
+    catch; the guard trades exhaustiveness on >max_bucket-way boilerplate
+    for a hard fanout bound, same contract as the MinHash-LSH lane)."""
+    if min_len < k + 1:
+        raise ValueError(f"min_len must exceed k (got min_len={min_len}, k={k})")
+    window = min_len - k + 1
+    anchors = winnow_anchor_table(docs, k=k, window=window,
+                                  id_col=id_col, text_col=text_col)
+
+    hot = (anchors.groupBy("h").agg(F.count_distinct("id").alias("nd"))
+           .where(F.col("nd") > max_bucket).select("h"))
+    hot_n = hot.persist().count()
+    if stats is not None:
+        stats["hot_buckets"] = hot_n
+    pruned = anchors.join(F.broadcast(hot), "h", "left_anti") if hot_n else anchors
+    hot.unpersist()
+
+    a = pruned.select(F.col("id").alias("a_id"), F.col("pos").alias("a_pos"), "h")
+    b = pruned.select(F.col("id").alias("b_id"), F.col("pos").alias("b_pos"), "h")
+    cand = (a.join(b, "h")
+            .where(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.collect_list(F.struct("a_pos", "b_pos")).alias("anchors")))
+
+    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    paired = (cand.join(texts.withColumnsRenamed({"id": "a_id", "text": "a_text"}),
+                        "a_id")
+              .join(texts.withColumnsRenamed({"id": "b_id", "text": "b_text"}),
+                    "b_id"))
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    out_schema = (f"a_id {id_t}, b_id {id_t}, "
+                  "a_start int, b_start int, length int")
+    kk, ml = k, min_len
+
+    def extend(batches):
+        for pdf in batches:
+            o_a, o_b, o_sa, o_sb, o_len = [], [], [], [], []
+            for r in pdf.itertuples(index=False):
+                A = (r.a_text or "").encode("utf-8", "ignore")
+                Bt = (r.b_text or "").encode("utf-8", "ignore")
+                pairs = sorted((int(x["a_pos"]), int(x["b_pos"]))
+                               for x in r.anchors)
+                covered: dict[int, tuple[int, int]] = {}  # diag -> (a_s, a_e)
+                seen: set[tuple[int, int, int]] = set()
+                for pa, pb in pairs:
+                    d = pa - pb
+                    cov = covered.get(d)
+                    if cov and cov[0] <= pa < cov[1]:
+                        continue
+                    if A[pa:pa + kk] != Bt[pb:pb + kk]:
+                        continue  # 31-bit hash collision — verified away
+                    s = pa
+                    while s > 0 and s - d > 0 and A[s - 1] == Bt[s - d - 1]:
+                        s -= 1
+                    e = pa + kk
+                    while e < len(A) and e - d < len(Bt) and A[e] == Bt[e - d]:
+                        e += 1
+                    covered[d] = (s, e)
+                    span = (s, s - d, e - s)
+                    if e - s >= ml and span not in seen:
+                        seen.add(span)
+                        o_a.append(r.a_id)
+                        o_b.append(r.b_id)
+                        o_sa.append(span[0])
+                        o_sb.append(span[1])
+                        o_len.append(span[2])
+            if o_a:
+                yield pd.DataFrame({"a_id": o_a, "b_id": o_b, "a_start": o_sa,
+                                    "b_start": o_sb, "length": o_len})
+
+    return paired.mapInPandas(extend, out_schema)
