@@ -210,6 +210,8 @@ def hash_sample(docs: DataFrame, rate: float | dict[str, float],
     if isinstance(rate, dict):
         if stratum_col is None:
             raise ValueError("per-stratum rates need stratum_col")
+        if not rate:
+            raise ValueError("empty rate dict: no stratum would ever be kept")
         r: Column = F.lit(-1.0)  # unlisted strata never sampled
         expr = None
         for k, v in rate.items():

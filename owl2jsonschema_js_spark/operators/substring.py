@@ -94,45 +94,80 @@ def winnow_anchor_table(docs: DataFrame, k: int = 16, window: int = 35,
 def substring_dups(docs: DataFrame, min_len: int = 50, k: int = 16,
                    max_bucket: int = 64, id_col: str = "doc_id",
                    text_col: str = "text",
-                   stats: dict | None = None) -> DataFrame:
-    """All maximal cross-doc repeated byte spans of length >= ``min_len``:
-    (a_id, b_id, a_start, b_start, length), a_id < b_id. Detection of every
-    qualifying span is GUARANTEED by the winnowing bound (window is derived
-    as ``min_len - k + 1``); emitted spans are verified byte ranges, never
-    hash trust. ``stats`` (optional) records {'hot_buckets': n} — the count
-    of boilerplate hashes the ``max_bucket`` guard dropped (a dropped hash
-    can only hide spans that OTHER anchors of the same span usually still
-    catch; the guard trades exhaustiveness on >max_bucket-way boilerplate
-    for a hard fanout bound, same contract as the MinHash-LSH lane)."""
+                   stats: dict | None = None,
+                   other: DataFrame | None = None,
+                   other_id_col: str | None = None,
+                   other_text_col: str | None = None) -> DataFrame:
+    """All maximal repeated byte spans of length >= ``min_len``:
+    (a_id, b_id, a_start, b_start, length).
+
+    Two modes sharing one kernel:
+
+    * **self** (``other=None``): cross-doc spans within ``docs``,
+      a_id < b_id — span-level dedup;
+    * **bipartite** (``other`` given): spans between ``docs`` (a side) and
+      ``other`` (b side), every colliding combination — span-level
+      DECONTAMINATION (``other`` = the eval set), where n-gram collision
+      counting is too blunt and the exact overlapping range is the needed
+      evidence.
+
+    Detection of every qualifying span is GUARANTEED by the winnowing bound
+    (window is derived as ``min_len - k + 1``); emitted spans are verified
+    byte ranges, never hash trust. ``stats`` (optional) records
+    {'hot_buckets': n} — hashes whose join fanout (distinct a-ids ×
+    distinct b-ids) would exceed ``max_bucket``² are dropped and counted (a
+    dropped hash can only hide spans that OTHER anchors of the same span
+    usually still catch; the guard trades exhaustiveness on heavy
+    boilerplate for a hard fanout bound, same contract as the MinHash-LSH
+    lane)."""
     if min_len < k + 1:
         raise ValueError(f"min_len must exceed k (got min_len={min_len}, k={k})")
     window = min_len - k + 1
     anchors = winnow_anchor_table(docs, k=k, window=window,
                                   id_col=id_col, text_col=text_col)
+    if other is None:
+        anchors_b, texts_b_src = anchors, docs
+        b_id_col, b_text_col = id_col, text_col
+    else:
+        b_id_col = other_id_col or id_col
+        b_text_col = other_text_col or text_col
+        anchors_b = winnow_anchor_table(other, k=k, window=window,
+                                        id_col=b_id_col, text_col=b_text_col)
+        texts_b_src = other
 
-    hot = (anchors.groupBy("h").agg(F.count_distinct("id").alias("nd"))
-           .where(F.col("nd") > max_bucket).select("h"))
+    na = anchors.groupBy("h").agg(F.count_distinct("id").alias("na"))
+    if other is None:
+        hot = na.where(F.col("na") > max_bucket).select("h")
+    else:
+        nb = anchors_b.groupBy("h").agg(F.count_distinct("id").alias("nb"))
+        hot = (na.join(nb, "h")  # a hash absent on either side pairs nothing
+               .where(F.col("na") * F.col("nb") > max_bucket * max_bucket)
+               .select("h"))
     hot_n = hot.persist().count()
     if stats is not None:
         stats["hot_buckets"] = hot_n
-    pruned = anchors.join(F.broadcast(hot), "h", "left_anti") if hot_n else anchors
+    pruned_a = anchors.join(F.broadcast(hot), "h", "left_anti") if hot_n else anchors
+    pruned_b = (anchors_b.join(F.broadcast(hot), "h", "left_anti")
+                if hot_n else anchors_b)
     hot.unpersist()
 
-    a = pruned.select(F.col("id").alias("a_id"), F.col("pos").alias("a_pos"), "h")
-    b = pruned.select(F.col("id").alias("b_id"), F.col("pos").alias("b_pos"), "h")
-    cand = (a.join(b, "h")
-            .where(F.col("a_id") < F.col("b_id"))
-            .groupBy("a_id", "b_id")
+    a = pruned_a.select(F.col("id").alias("a_id"), F.col("pos").alias("a_pos"), "h")
+    b = pruned_b.select(F.col("id").alias("b_id"), F.col("pos").alias("b_pos"), "h")
+    joined = a.join(b, "h")
+    if other is None:
+        joined = joined.where(F.col("a_id") < F.col("b_id"))
+    cand = (joined.groupBy("a_id", "b_id")
             .agg(F.collect_list(F.struct("a_pos", "b_pos")).alias("anchors")))
 
-    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    paired = (cand.join(texts.withColumnsRenamed({"id": "a_id", "text": "a_text"}),
-                        "a_id")
-              .join(texts.withColumnsRenamed({"id": "b_id", "text": "b_text"}),
-                    "b_id"))
+    texts_a = docs.select(F.col(id_col).alias("a_id"),
+                          F.col(text_col).alias("a_text"))
+    texts_b = texts_b_src.select(F.col(b_id_col).alias("b_id"),
+                                 F.col(b_text_col).alias("b_text"))
+    paired = cand.join(texts_a, "a_id").join(texts_b, "b_id")
 
     id_t = docs.schema[id_col].dataType.simpleString()
-    out_schema = (f"a_id {id_t}, b_id {id_t}, "
+    b_id_t = texts_b_src.schema[b_id_col].dataType.simpleString()
+    out_schema = (f"a_id {id_t}, b_id {b_id_t}, "
                   "a_start int, b_start int, length int")
     kk, ml = k, min_len
 

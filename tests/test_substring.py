@@ -144,6 +144,30 @@ def test_anchor_table_density_and_determinism(spark):
     assert len(t1) <= 2000 * 4 / 35
 
 
+def test_bipartite_span_decontamination(spark):
+    """other= mode: spans between a corpus and an eval table, exact offsets,
+    no corpus-internal pairs emitted."""
+    rng = np.random.default_rng(37)
+    leak = _rand_text(rng, 70)
+    corpus = [
+        _rand_text(rng, 50) + leak + _rand_text(rng, 30),   # 0: contaminated
+        _rand_text(rng, 140),                               # 1: clean
+        leak + _rand_text(rng, 90),                         # 2: contaminated at 0
+    ]
+    docs = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(900, _rand_text(rng, 15) + leak + _rand_text(rng, 15))],
+        "eval_id long, text string")
+    rows = substring_dups(docs, min_len=60, k=16, other=evals,
+                          other_id_col="eval_id").collect()
+    got = {(r["a_id"], r["b_id"], r["a_start"], r["b_start"], r["length"])
+           for r in rows}
+    assert got == {(0, 900, 50, 15, 70), (2, 900, 0, 15, 70)}
+    # corpus docs 0 and 2 share `leak` with EACH OTHER too — bipartite mode
+    # must not emit that internal pair
+    assert all(r["b_id"] == 900 for r in rows)
+
+
 def test_rejects_bad_params(spark):
     df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
