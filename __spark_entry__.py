@@ -747,6 +747,24 @@ def q_substring_dups(spark, sf_dir):
                       "a_start", "b_start", "length")
 
 
+def q_span_decontaminate(spark, sf_dir):
+    """Span-level decontamination (bipartite substring kernel): exact
+    overlapping byte ranges between the corpus and a held-out eval set
+    (every ~97th doc; the self-pair is the trivial full-length hit and is
+    excluded here to surface real cross-doc leakage)."""
+    from owl2jsonschema_js_spark.operators.substring import substring_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    out = substring_dups(docs, min_len=60, k=16, other=evals,
+                         other_id_col="eval_id")
+    return (out.where(F.col("a_id") != F.col("b_id"))
+            .select(F.col("a_id").cast("bigint").alias("doc_id"),
+                    F.col("b_id").cast("bigint").alias("eval_id"),
+                    "a_start", "b_start", "length"))
+
+
 def q_val_exists_violations(spark, sf_dir):
     """C8 someValuesFrom -> exists(): per-user event-type set must contain a
     'purchase' (items.anyOf + additionalItems:true on an array column)."""
@@ -1354,6 +1372,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "pack_shards": q_pack_shards,
         "substring_dups": q_substring_dups,
+        "span_decontaminate": q_span_decontaminate,
     }
 
 
