@@ -1,0 +1,165 @@
+"""spark-submit entry point for the curation lanes — the pipeline steps a
+corpus owner runs beside validation:
+
+    python -m owl2jsonschema_js_spark.curate <cmd> --input docs.parquet --output out [...]
+
+Commands
+--------
+dedup          MinHash-LSH near-dup survivors (one doc kept per cluster)
+substring      maximal cross-doc repeated byte spans >= --min-len
+decontaminate  n-gram overlap vs --eval set (add --min-len for exact spans)
+pii            per-doc PII counts; --redact writes the scrubbed corpus
+sample         deterministic LCG sample; --rate or --rates src0=0.5,src1=0.1
+pack           token-budget shard assignment (exact global cumsum)
+
+Every command reads parquet via TableIO (Iceberg when the runtime jar is
+present), writes parquet to --output, and prints one JSON summary line.
+Like the validation CLI, ship the package with
+``spark-submit --py-files engine.zip``."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _rates(spec: str) -> dict[str, float]:
+    out = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if not _ or not k:
+            raise argparse.ArgumentTypeError(
+                f"--rates wants src=rate[,src=rate...], got {spec!r}")
+        out[k] = float(v)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="owl2jsonschema_js_spark.curate")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--input", required=True)
+        p.add_argument("--output", required=True)
+        p.add_argument("--id-col", default="doc_id")
+        p.add_argument("--text-col", default="text")
+
+    p = sub.add_parser("dedup"); common(p)
+    p.add_argument("--threshold", type=float, default=0.7)
+
+    p = sub.add_parser("substring"); common(p)
+    p.add_argument("--min-len", type=int, default=50)
+
+    p = sub.add_parser("decontaminate"); common(p)
+    p.add_argument("--eval", dest="eval_path", required=True)
+    p.add_argument("--eval-id-col", default="eval_id")
+    p.add_argument("--ngram", type=int, default=5)
+    p.add_argument("--min-len", type=int, default=0,
+                   help="> 0: exact span mode instead of n-gram counting")
+
+    p = sub.add_parser("pii"); common(p)
+    p.add_argument("--redact", action="store_true")
+
+    p = sub.add_parser("sample"); common(p)
+    p.add_argument("--rate", type=float, default=None)
+    p.add_argument("--rates", type=_rates, default=None)
+    p.add_argument("--stratum-col", default="source")
+    p.add_argument("--salt", type=int, default=0)
+
+    p = sub.add_parser("pack"); common(p)
+    p.add_argument("--budget", type=int, required=True)
+
+    args = ap.parse_args(argv)
+
+    from owl2jsonschema_js_spark.sources import TableIO
+
+    spark = SparkSession.builder.appName(
+        f"owl2jsonschema_js_spark-curate-{args.cmd}").getOrCreate()
+    docs = TableIO(spark, args.input).read()
+    n_in = docs.count()
+
+    if args.cmd == "dedup":
+        from owl2jsonschema_js_spark.operators.dedup import (dedup_survivors,
+                                                             minhash_lsh_pairs)
+        pairs = minhash_lsh_pairs(docs, threshold=args.threshold,
+                                  id_col=args.id_col,
+                                  text_col=args.text_col).persist()
+        out = dedup_survivors(docs, pairs, id_col=args.id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        summary = {"cmd": "dedup", "docs_in": n_in, "survivors": n_out,
+                   "dropped": n_in - n_out}
+        pairs.unpersist()
+    elif args.cmd == "substring":
+        from owl2jsonschema_js_spark.operators.substring import substring_dups
+        stats: dict = {}
+        out = substring_dups(docs, min_len=args.min_len, id_col=args.id_col,
+                             text_col=args.text_col, stats=stats)
+        out.write.mode("overwrite").parquet(args.output)
+        summary = {"cmd": "substring", "docs_in": n_in,
+                   "spans": spark.read.parquet(args.output).count(), **stats}
+    elif args.cmd == "decontaminate":
+        evals = TableIO(spark, args.eval_path).read()
+        if args.min_len > 0:
+            from owl2jsonschema_js_spark.operators.substring import substring_dups
+            out = substring_dups(docs, min_len=args.min_len,
+                                 id_col=args.id_col, text_col=args.text_col,
+                                 other=evals, other_id_col=args.eval_id_col,
+                                 other_text_col=args.text_col)
+        else:
+            from owl2jsonschema_js_spark.operators.curation import decontaminate
+            out = decontaminate(docs, evals, n=args.ngram, id_col=args.id_col,
+                                text_col=args.text_col,
+                                eval_id_col=args.eval_id_col,
+                                eval_text_col=args.text_col)
+        out.write.mode("overwrite").parquet(args.output)
+        hits = spark.read.parquet(args.output)
+        summary = {"cmd": "decontaminate", "docs_in": n_in,
+                   "hit_rows": hits.count(),
+                   "contaminated_docs":
+                       hits.select(hits.columns[0]).distinct().count()}
+    elif args.cmd == "pii":
+        from owl2jsonschema_js_spark.operators.curation import (pii_redact,
+                                                                pii_scan)
+        scan = pii_scan(docs, id_col=args.id_col, text_col=args.text_col)
+        if args.redact:
+            pii_redact(docs, text_col=args.text_col) \
+                .write.mode("overwrite").parquet(args.output)
+        else:
+            scan.write.mode("overwrite").parquet(args.output)
+        agg = scan.agg(F.sum("pii_total").alias("t"),
+                       F.sum((F.col("pii_total") > 0).cast("int")).alias("d")
+                       ).collect()[0]
+        summary = {"cmd": "pii", "docs_in": n_in, "redacted": args.redact,
+                   "pii_hits": int(agg["t"] or 0),
+                   "docs_with_pii": int(agg["d"] or 0)}
+    elif args.cmd == "sample":
+        from owl2jsonschema_js_spark.operators.curation import hash_sample
+        if (args.rate is None) == (args.rates is None):
+            ap.error("pass exactly one of --rate / --rates")
+        rate = args.rate if args.rate is not None else args.rates
+        out = hash_sample(docs, rate, key_col=args.id_col,
+                          stratum_col=args.stratum_col if args.rates else None,
+                          salt=args.salt)
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        summary = {"cmd": "sample", "docs_in": n_in, "kept": n_out,
+                   "salt": args.salt}
+    else:  # pack
+        from owl2jsonschema_js_spark.operators.curation import pack_shards
+        out = pack_shards(docs, budget_tokens=args.budget, id_col=args.id_col)
+        out.write.mode("overwrite").parquet(args.output)
+        packed = spark.read.parquet(args.output)
+        summary = {"cmd": "pack", "docs_in": n_in, "budget": args.budget,
+                   "shards": packed.select("shard_id").distinct().count()}
+
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

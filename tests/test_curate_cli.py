@@ -1,0 +1,81 @@
+"""Curation CLI (`python -m owl2jsonschema_js_spark.curate`): each command
+runs in-process against the driver corpus and writes checkable parquet."""
+
+import json
+
+import pytest
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run(capsys, argv):
+    from owl2jsonschema_js_spark.curate import main
+
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_sample_and_pack(spark, tmp_path, capsys):
+    out = str(tmp_path / "s")
+    s = _run(capsys, ["sample", "--input", SF, "--output", out, "--rate", "0.25"])
+    assert 0 < s["kept"] < s["docs_in"]
+    kept = spark.read.parquet(out)
+    assert kept.count() == s["kept"]
+
+    out2 = str(tmp_path / "p")
+    p = _run(capsys, ["pack", "--input", SF, "--output", out2,
+                      "--budget", "2000"])
+    assert p["shards"] > 1
+    packed = spark.read.parquet(out2)
+    assert packed.count() == p["docs_in"]
+
+
+def test_cli_stratified_sample(spark, tmp_path, capsys):
+    out = str(tmp_path / "s2")
+    s = _run(capsys, ["sample", "--input", SF, "--output", out,
+                      "--rates", "src0=1.0,src1=0.0"])
+    kept = spark.read.parquet(out)
+    srcs = {r["source"] for r in kept.select("source").distinct().collect()}
+    assert srcs == {"src0"} and s["kept"] == 25
+
+
+def test_cli_pii_scan_and_redact(spark, tmp_path, capsys):
+    out = str(tmp_path / "pii")
+    s = _run(capsys, ["pii", "--input", SF, "--output", out])
+    assert s["pii_hits"] == 0          # synthetic corpus carries no PII
+    out2 = str(tmp_path / "red")
+    s2 = _run(capsys, ["pii", "--input", SF, "--output", out2, "--redact"])
+    assert s2["redacted"] is True
+    red = spark.read.parquet(out2)
+    assert red.count() == s2["docs_in"]
+    assert set(red.columns) == set(spark.read.parquet(SF).columns)
+
+
+def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):
+    out = str(tmp_path / "d")
+    s = _run(capsys, ["dedup", "--input", SF, "--output", out,
+                      "--threshold", "0.7"])
+    assert s["survivors"] + s["dropped"] == s["docs_in"]
+    assert s["dropped"] > 0            # the corpus plants near-dups
+
+    evals = str(tmp_path / "evals.parquet")
+    spark.read.parquet(SF).where("doc_id % 97 = 0") \
+        .selectExpr("doc_id as eval_id", "text").write.parquet(evals)
+    out2 = str(tmp_path / "dc")
+    s2 = _run(capsys, ["decontaminate", "--input", SF, "--output", out2,
+                       "--eval", evals])
+    assert s2["contaminated_docs"] >= 6  # at least the eval docs themselves
+    out3 = str(tmp_path / "dcs")
+    s3 = _run(capsys, ["decontaminate", "--input", SF, "--output", out3,
+                       "--eval", evals, "--min-len", "60"])
+    assert s3["hit_rows"] >= 6
+
+
+def test_cli_rejects_rate_conflicts(tmp_path, capsys):
+    from owl2jsonschema_js_spark.curate import main
+
+    with pytest.raises(SystemExit):
+        main(["sample", "--input", SF, "--output", str(tmp_path / "x")])
+    with pytest.raises(SystemExit):
+        main(["sample", "--input", SF, "--output", str(tmp_path / "y"),
+              "--rate", "0.5", "--rates", "src0=1.0"])
