@@ -29,6 +29,11 @@ Shape (the suffix-array replacement that distributes):
 Positions are BYTE offsets of the UTF-8 encoding (exact for the ASCII
 corpus; for multibyte text the span edges are still byte-exact but may split
 a codepoint — callers slicing codepoints should round inward).
+
+Deployment note: the anchor UDF references module-level kernels, so
+executors must be able to import this package — ship it with
+``spark-submit --py-files engine.zip`` (the repo's standard launch shape) or
+set PYTHONPATH; plain local sessions launched from the repo root work as-is.
 """
 
 from __future__ import annotations
@@ -53,6 +58,24 @@ def _weights(k: int) -> np.ndarray:
     return w
 
 
+def _anchors_for_bytes(b: np.ndarray, k: int, window: int,
+                       weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(positions, hashes) of winnowing-selected k-gram anchors for one byte
+    string (int64 array) — one windowed matmul + windowed argmin, no
+    per-character Python. Selection rule: first-minimum per window (content
+    local, so two occurrences of the same substring select the same relative
+    positions). Fuzz-pinned against a naive reference in tests."""
+    if b.size < k:
+        return (np.empty(0, dtype=np.int64),) * 2
+    h = (np.lib.stride_tricks.sliding_window_view(b, k) @ weights) % _M
+    if h.size <= window:
+        p = np.array([int(h.argmin())])
+    else:
+        wv = np.lib.stride_tricks.sliding_window_view(h, window)
+        p = np.unique(wv.argmin(axis=1) + np.arange(wv.shape[0]))
+    return p, h[p]
+
+
 def winnow_anchor_table(docs: DataFrame, k: int = 16, window: int = 35,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
@@ -71,17 +94,12 @@ def winnow_anchor_table(docs: DataFrame, k: int = 16, window: int = 35,
             for i, t in zip(pdf["id"], pdf["text"]):
                 b = np.frombuffer((t or "").encode("utf-8", "ignore"),
                                   dtype=np.uint8).astype(np.int64)
-                if b.size < kk:
+                p, hp = _anchors_for_bytes(b, kk, ww, weights)
+                if p.size == 0:
                     continue
-                h = (np.lib.stride_tricks.sliding_window_view(b, kk) @ weights) % _M
-                if h.size <= ww:
-                    p = np.array([int(h.argmin())])
-                else:
-                    wv = np.lib.stride_tricks.sliding_window_view(h, ww)
-                    p = np.unique(wv.argmin(axis=1) + np.arange(wv.shape[0]))
                 ids.append(np.full(p.size, i))
                 poss.append(p)
-                hs.append(h[p])
+                hs.append(hp)
             if ids:
                 yield pd.DataFrame({"id": np.concatenate(ids),
                                     "pos": np.concatenate(poss).astype(np.int32),

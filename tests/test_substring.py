@@ -168,6 +168,48 @@ def test_bipartite_span_decontamination(spark):
     assert all(r["b_id"] == 900 for r in rows)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_anchor_math_fuzz_vs_naive_reference(seed):
+    """The vectorized anchor kernel == a character-at-a-time reference:
+    rolling hash, first-min-per-window selection, dedup — over random byte
+    strings including degenerate all-equal and length < k cases. Pure numpy,
+    no Spark session."""
+    from owl2jsonschema_js_spark.operators.substring import (_M, _anchors_for_bytes,
+                                                             _weights)
+
+    rng = np.random.default_rng(seed)
+    k, w = int(rng.integers(2, 9)), int(rng.integers(1, 12))
+    weights = _weights(k)
+    cases = [
+        rng.integers(0, 256, size=int(rng.integers(0, 400))),
+        np.full(int(rng.integers(k, 60)), int(rng.integers(0, 256))),  # all equal
+        rng.integers(97, 100, size=120),                               # tiny alphabet
+        rng.integers(0, 256, size=k - 1),                              # too short
+    ]
+    for b in cases:
+        b = b.astype(np.int64)
+        got_p, got_h = _anchors_for_bytes(b, k, w, weights)
+        # naive reference
+        if b.size < k:
+            assert got_p.size == 0
+            continue
+        hashes = []
+        for i in range(b.size - k + 1):
+            acc = 0
+            for j in range(k):
+                acc = (acc + int(b[i + j]) * int(weights[j])) % _M
+            hashes.append(acc)
+        if len(hashes) <= w:
+            sel = {int(np.argmin(hashes))}
+        else:
+            sel = set()
+            for s in range(len(hashes) - w + 1):
+                win = hashes[s:s + w]
+                sel.add(s + win.index(min(win)))
+        assert list(got_p) == sorted(sel)
+        assert [int(x) for x in got_h] == [hashes[p] for p in sorted(sel)]
+
+
 def test_rejects_bad_params(spark):
     df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
