@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("substring"); common(p)
     p.add_argument("--min-len", type=int, default=50)
+    p.add_argument("--min-coverage", type=float, default=0.0,
+                   help="> 0: write span-coverage dedup SURVIVORS instead "
+                        "of the raw span table")
 
     p = sub.add_parser("decontaminate"); common(p)
     p.add_argument("--eval", dest="eval_path", required=True)
@@ -95,13 +98,26 @@ def main(argv: list[str] | None = None) -> int:
                    "dropped": n_in - n_out}
         pairs.unpersist()
     elif args.cmd == "substring":
-        from owl2jsonschema_js_spark.operators.substring import substring_dups
-        stats: dict = {}
-        out = substring_dups(docs, min_len=args.min_len, id_col=args.id_col,
-                             text_col=args.text_col, stats=stats)
-        out.write.mode("overwrite").parquet(args.output)
-        summary = {"cmd": "substring", "docs_in": n_in,
-                   "spans": spark.read.parquet(args.output).count(), **stats}
+        if args.min_coverage > 0:
+            from owl2jsonschema_js_spark.operators.substring import (
+                span_dedup_survivors)
+            out = span_dedup_survivors(docs, min_len=args.min_len,
+                                       min_coverage=args.min_coverage,
+                                       id_col=args.id_col,
+                                       text_col=args.text_col)
+            out.write.mode("overwrite").parquet(args.output)
+            n_out = spark.read.parquet(args.output).count()
+            summary = {"cmd": "substring", "docs_in": n_in,
+                       "survivors": n_out, "dropped": n_in - n_out,
+                       "min_coverage": args.min_coverage}
+        else:
+            from owl2jsonschema_js_spark.operators.substring import substring_dups
+            stats: dict = {}
+            out = substring_dups(docs, min_len=args.min_len, id_col=args.id_col,
+                                 text_col=args.text_col, stats=stats)
+            out.write.mode("overwrite").parquet(args.output)
+            summary = {"cmd": "substring", "docs_in": n_in,
+                       "spans": spark.read.parquet(args.output).count(), **stats}
     elif args.cmd == "decontaminate":
         evals = TableIO(spark, args.eval_path).read()
         if args.min_len > 0:

@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["winnow_anchor_table", "substring_dups"]
+__all__ = ["winnow_anchor_table", "substring_dups", "span_dedup_survivors"]
 
 _B, _M = 131, (1 << 31) - 1  # polynomial base / 31-bit Mersenne modulus
 
@@ -226,3 +226,74 @@ def substring_dups(docs: DataFrame, min_len: int = 50, k: int = 16,
                                     "b_start": o_sb, "length": o_len})
 
     return paired.mapInPandas(extend, out_schema)
+
+
+def _merged_coverage(iv: list, total: int) -> float:
+    """Union length of (start, length) intervals over a doc of `total`
+    bytes, as a fraction — overlapping spans (different alignment diagonals
+    can cover the same bytes) must not double-count."""
+    if total <= 0 or not iv:
+        return 0.0
+    spans = sorted((int(s), int(s) + int(ln)) for s, ln in iv)
+    cov, cs, ce = 0, *spans[0]
+    for s, e in spans[1:]:
+        if s > ce:
+            cov += ce - cs
+            cs, ce = s, e
+        elif e > ce:
+            ce = e
+    cov += ce - cs
+    return cov / total
+
+
+def span_dedup_survivors(docs: DataFrame, min_len: int = 50, k: int = 16,
+                         min_coverage: float = 0.5, max_bucket: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_iter: int = 20) -> DataFrame:
+    """Span-coverage dedup policy (the policy layer over
+    :func:`substring_dups`, public semantics per Lee et al.): two docs are
+    duplicates when the MERGED repeated spans between them cover at least
+    ``min_coverage`` of either doc's bytes; duplicate groups collapse
+    transitively (``dup_clusters``) and one min-id representative survives
+    per group. Shingle-Jaccard dedup misses this case: a short doc fully
+    embedded in a long one has low Jaccard but 100% coverage of the short
+    side.
+
+    Scale shape: spans ride the bounded substring kernel; coverage is an
+    interval merge per candidate PAIR (pandas over Arrow, O(spans log
+    spans)); clustering and survivor thinning reuse the dedup lane
+    (driver union-find under the small-graph threshold, O(log D) pointer
+    jump above it). Returns the surviving rows of ``docs``."""
+    from owl2jsonschema_js_spark.operators.dedup import dedup_survivors
+
+    spans = substring_dups(docs, min_len=min_len, k=k, max_bucket=max_bucket,
+                           id_col=id_col, text_col=text_col)
+    lens = docs.select(F.col(id_col).alias("id"),
+                       F.octet_length(text_col).alias("blen"))
+    per_pair = (spans.groupBy("a_id", "b_id")
+                .agg(F.collect_list(F.struct("a_start", "length")).alias("iv_a"),
+                     F.collect_list(F.struct("b_start", "length")).alias("iv_b"))
+                .join(lens.withColumnsRenamed({"id": "a_id", "blen": "a_len"}),
+                      "a_id")
+                .join(lens.withColumnsRenamed({"id": "b_id", "blen": "b_len"}),
+                      "b_id"))
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    thr = float(min_coverage)
+
+    def judge(batches):
+        for pdf in batches:
+            keep_a, keep_b = [], []
+            for r in pdf.itertuples(index=False):
+                cov_a = _merged_coverage(
+                    [(x["a_start"], x["length"]) for x in r.iv_a], r.a_len)
+                cov_b = _merged_coverage(
+                    [(x["b_start"], x["length"]) for x in r.iv_b], r.b_len)
+                if max(cov_a, cov_b) >= thr:
+                    keep_a.append(r.a_id)
+                    keep_b.append(r.b_id)
+            if keep_a:
+                yield pd.DataFrame({"a_id": keep_a, "b_id": keep_b})
+
+    dup_pairs = per_pair.mapInPandas(judge, f"a_id {id_t}, b_id {id_t}")
+    return dedup_survivors(docs, dup_pairs, id_col=id_col, max_iter=max_iter)

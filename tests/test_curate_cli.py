@@ -71,6 +71,18 @@ def test_cli_dedup_and_decontaminate(spark, tmp_path, capsys):
     assert s3["hit_rows"] >= 6
 
 
+def test_cli_substring_spans_and_survivors(spark, tmp_path, capsys):
+    out = str(tmp_path / "sp")
+    s = _run(capsys, ["substring", "--input", SF, "--output", out,
+                      "--min-len", "60"])
+    assert s["spans"] > 0
+    out2 = str(tmp_path / "sv")
+    s2 = _run(capsys, ["substring", "--input", SF, "--output", out2,
+                       "--min-len", "60", "--min-coverage", "0.5"])
+    assert s2["survivors"] + s2["dropped"] == s2["docs_in"]
+    assert s2["dropped"] > 0  # corpus near-dups exceed 50% span coverage
+
+
 def test_cli_rejects_rate_conflicts(tmp_path, capsys):
     from owl2jsonschema_js_spark.curate import main
 

@@ -168,6 +168,31 @@ def test_bipartite_span_decontamination(spark):
     assert all(r["b_id"] == 900 for r in rows)
 
 
+def test_span_dedup_survivors_coverage_policy(spark):
+    """Coverage policy: a short doc embedded in a long one is a duplicate
+    (low Jaccard, 100% coverage of the short side) and duplicate groups
+    collapse transitively to the min-id representative; partial overlap
+    below the threshold survives."""
+    from owl2jsonschema_js_spark.operators.substring import span_dedup_survivors
+
+    rng = np.random.default_rng(41)
+    base = _rand_text(rng, 200)
+    docs = [
+        (0, base),                                          # representative
+        (1, _rand_text(rng, 5) + base[40:160] + _rand_text(rng, 5)),  # embedded
+        (2, base[30:150] + _rand_text(rng, 10)),            # embedded, other cut
+        (3, base[:60] + _rand_text(rng, 140)),              # 30% overlap -> keep
+        (4, _rand_text(rng, 180)),                          # unrelated -> keep
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    surv = span_dedup_survivors(df, min_len=50, k=16, min_coverage=0.5)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [0, 3, 4]
+    # overlapping spans must not double-count coverage
+    from owl2jsonschema_js_spark.operators.substring import _merged_coverage
+    assert _merged_coverage([(0, 60), (30, 60), (200, 10)], 300) == 100 / 300
+    assert _merged_coverage([], 100) == 0.0 and _merged_coverage([(0, 5)], 0) == 0.0
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_anchor_math_fuzz_vs_naive_reference(seed):
     """The vectorized anchor kernel == a character-at-a-time reference:
