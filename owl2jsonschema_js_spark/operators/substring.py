@@ -141,8 +141,13 @@ def substring_dups(docs: DataFrame, min_len: int = 50, k: int = 16,
     if min_len < k + 1:
         raise ValueError(f"min_len must exceed k (got min_len={min_len}, k={k})")
     window = min_len - k + 1
+    # eager localCheckpoint: the anchor table is read three times (hot-bucket
+    # guard, a-side and b-side of the hash join) — without pinning, each read
+    # re-runs the winnowing UDF over the full corpus. GC reclaims the
+    # checkpoint RDD with the returned frame (repo-wide release pattern).
     anchors = winnow_anchor_table(docs, k=k, window=window,
-                                  id_col=id_col, text_col=text_col)
+                                  id_col=id_col, text_col=text_col
+                                  ).localCheckpoint(eager=True)
     if other is None:
         anchors_b, texts_b_src = anchors, docs
         b_id_col, b_text_col = id_col, text_col
@@ -150,7 +155,8 @@ def substring_dups(docs: DataFrame, min_len: int = 50, k: int = 16,
         b_id_col = other_id_col or id_col
         b_text_col = other_text_col or text_col
         anchors_b = winnow_anchor_table(other, k=k, window=window,
-                                        id_col=b_id_col, text_col=b_text_col)
+                                        id_col=b_id_col, text_col=b_text_col
+                                        ).localCheckpoint(eager=True)
         texts_b_src = other
 
     na = anchors.groupBy("h").agg(F.count_distinct("id").alias("na"))
