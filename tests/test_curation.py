@@ -254,6 +254,45 @@ def test_pack_shards_fill_properties(spark):
         pack_shards(df, budget_tokens=0)
 
 
+def test_calibrated_quality_rules_match_duckdb_quantiles(spark, docs):
+    """Exact-mode calibration == DuckDB quantile_cont on the same signal,
+    and feeding the rules back into quality_filter keeps exactly the
+    in-band docs."""
+    from owl2jsonschema_js_spark.operators.textstats import (
+        calibrated_quality_rules, quality_filter)
+
+    rules = calibrated_quality_rules(docs, pct_lo=0.1, pct_hi=0.9,
+                                     signals=("n_tokens",))
+    (rid, col, lo, hi), = rules
+    assert rid == "cal_n_tokens" and col == "n_tokens" and lo < hi
+
+    con = duckdb.connect()
+    want_lo, want_hi = con.execute(f"""
+        WITH t AS (SELECT CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+                   FROM '{SF}/documents.parquet')
+        SELECT quantile_cont(n, 0.1), quantile_cont(n, 0.9) FROM t
+    """).fetchone()
+    assert lo == pytest.approx(want_lo) and hi == pytest.approx(want_hi)
+
+    out = quality_filter(docs, rules=rules)
+    kept = {r["doc_id"] for r in out.where("keep").collect()}
+    want_kept = {r[0] for r in con.execute(f"""
+        WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+                   FROM '{SF}/documents.parquet')
+        SELECT doc_id FROM t WHERE n >= {lo} AND n <= {hi}
+    """).fetchall()}
+    assert kept == want_kept and 0 < len(kept) < 500
+
+    with pytest.raises(ValueError):
+        calibrated_quality_rules(docs, pct_lo=0.9, pct_hi=0.1)
+    # approx mode runs and lands near exact (GK sketch, generous tolerance)
+    (_, _, alo, ahi), = calibrated_quality_rules(
+        docs, pct_lo=0.1, pct_hi=0.9, signals=("n_tokens",), exact=False)
+    assert abs(alo - lo) <= 2 and abs(ahi - hi) <= 2
+
+
 def test_mixture_rates_budget_math(spark):
     df = spark.createDataFrame(
         [(i, "w " * 10, "a") for i in range(10)] +       # a: 100 tokens
