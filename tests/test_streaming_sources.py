@@ -303,9 +303,13 @@ def test_turn_monitor_evicts_idle_state_and_reseeds(spark, tmp_path):
     from owl2jsonschema_js_spark.streaming.stateful import turn_sequence_monitor
 
     schema = "conv_id string, turn_idx int"
-    TIMEOUT_MS = 15_000          # eviction deadline for the bounded run
-    CADENCE_S = 2.0              # live speaks every ~2s (7.5x margin)
-    MAX_ACK_GAP_S = 9.0          # cadence precondition; past this -> skip
+    # sized for burst-throttled hosts (boot-D hypervisor neighbors measured
+    # 9.7s ack stalls while locally idle): the live side only needs to ack
+    # within MAX_ACK_GAP < TIMEOUT to stay resident, so doubling both keeps
+    # the 0.6 margin ratio and costs ~30s of extra wall instead of a skip
+    TIMEOUT_MS = 30_000          # eviction deadline for the bounded run
+    CADENCE_S = 2.0              # live speaks every ~2s (15x margin)
+    MAX_ACK_GAP_S = 18.0         # cadence precondition; past this -> skip
 
     def run_feed(label, idle_timeout_ms):
         """One LIVE query (the deployment shape); files arrive while it
