@@ -300,6 +300,40 @@ def pack_shards(docs: DataFrame, budget_tokens: int,
     return ranged.mapInPandas(assign, out_schema)
 
 
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       test_frac: float = 0.1, id_col: str = "doc_id",
+                       salt: int = 0) -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the split:
+    duplicate clusters (transitive closure over ``pairs``, the output of any
+    dedup pair lane) are assigned as UNITS — the split key is the cluster's
+    representative id, so two docs connected by any chain of near-dup pairs
+    always land on the same side. Splitting by doc id instead is the classic
+    eval-inflation trap: a paraphrase of a training doc in the test set
+    scores as generalization.
+
+    Deterministic (same LCG as :func:`hash_sample` — ``salt`` draws
+    independent splits) and incremental-stable: a re-run over a grown corpus
+    keeps every old doc's side unless new pairs merge its cluster (in which
+    case the MERGED cluster re-keys as one unit — sides may flip together,
+    never apart). Clustering inherits the dedup lane's driver/distributed
+    threshold. Returns ``docs`` + a ``split`` column ('train' | 'test');
+    unpaired docs key on their own id."""
+    from owl2jsonschema_js_spark.operators.dedup import dup_clusters
+
+    if not (0.0 <= test_frac <= 1.0):
+        raise ValueError(f"test_frac out of [0,1]: {test_frac}")
+    members = dup_clusters(pairs)
+    assign = (members.select(F.col("id").alias(id_col),
+                             F.col("cluster_id").alias("_ck"))
+              .localCheckpoint(eager=True))
+    members.unpersist()
+    key = F.coalesce(F.col("_ck"), F.col(id_col))
+    split = F.when(_lcg_uniform(key, salt) < F.lit(float(test_frac)),
+                   F.lit("test")).otherwise(F.lit("train"))
+    return (docs.join(assign, id_col, "left")
+            .withColumn("split", split).drop("_ck"))
+
+
 def mixture_rates(docs: DataFrame, weights: dict[str, float],
                   budget_tokens: int, stratum_col: str = "source",
                   token_count_col: Column | None = None) -> dict[str, float]:

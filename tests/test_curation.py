@@ -254,6 +254,35 @@ def test_pack_shards_fill_properties(spark):
         pack_shards(df, budget_tokens=0)
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """No near-dup pair may straddle train/test, at any salt; singletons
+    split independently and deterministically; merged clusters move as one."""
+    from owl2jsonschema_js_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(400)],
+                                 "doc_id long, text string")
+    # clusters: chains {0..4}, {10,11}, {20,21,22}; rest singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)] + [(10, 11), (20, 21), (21, 22)],
+        "a_id long, b_id long")
+    for salt in (0, 7, 99):
+        out = leakage_safe_split(docs, pairs, test_frac=0.3, salt=salt)
+        side = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(side) == 400 and set(side.values()) <= {"train", "test"}
+        for grp in ([0, 1, 2, 3, 4], [10, 11], [20, 21, 22]):
+            assert len({side[i] for i in grp}) == 1, (salt, grp)
+        n_test = sum(1 for v in side.values() if v == "test")
+        assert 50 < n_test < 190  # ~0.3 of 400 with slack
+    # determinism
+    a = {(r["doc_id"], r["split"]) for r in
+         leakage_safe_split(docs, pairs, test_frac=0.3, salt=0).collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         leakage_safe_split(docs, pairs, test_frac=0.3, salt=0).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, test_frac=1.5)
+
+
 def test_calibrated_quality_rules_match_duckdb_quantiles(spark, docs):
     """Exact-mode calibration == DuckDB quantile_cont on the same signal,
     and feeding the rules back into quality_filter keeps exactly the
