@@ -11,6 +11,7 @@ decontaminate  n-gram overlap vs --eval set (add --min-len for exact spans)
 pii            per-doc PII counts; --redact writes the scrubbed corpus
 sample         deterministic LCG sample; --rate or --rates src0=0.5,src1=0.1
 pack           token-budget shard assignment (exact global cumsum)
+split          leakage-safe train/test split (near-dup clusters move as units)
 
 Every command reads parquet via TableIO (Iceberg when the runtime jar is
 present), writes parquet to --output, and prints one JSON summary line.
@@ -75,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("pack"); common(p)
     p.add_argument("--budget", type=int, required=True)
+
+    p = sub.add_parser("split"); common(p)
+    p.add_argument("--test-frac", type=float, default=0.1)
+    p.add_argument("--threshold", type=float, default=0.7,
+                   help="MinHash-LSH near-dup threshold for the pair lane "
+                        "the split clusters over")
+    p.add_argument("--salt", type=int, default=0)
 
     args = ap.parse_args(argv)
 
@@ -165,6 +173,22 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.parquet(args.output).count()
         summary = {"cmd": "sample", "docs_in": n_in, "kept": n_out,
                    "salt": args.salt}
+    elif args.cmd == "split":
+        from owl2jsonschema_js_spark.operators.curation import leakage_safe_split
+        from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
+        pairs = minhash_lsh_pairs(docs, threshold=args.threshold,
+                                  id_col=args.id_col,
+                                  text_col=args.text_col).persist()
+        out = leakage_safe_split(docs, pairs, test_frac=args.test_frac,
+                                 id_col=args.id_col, salt=args.salt)
+        out.write.mode("overwrite").parquet(args.output)
+        written = spark.read.parquet(args.output)
+        by = {r["split"]: r["n"] for r in
+              written.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        summary = {"cmd": "split", "docs_in": n_in,
+                   "test": by.get("test", 0), "train": by.get("train", 0),
+                   "salt": args.salt}
+        pairs.unpersist()
     else:  # pack
         from owl2jsonschema_js_spark.operators.curation import pack_shards
         out = pack_shards(docs, budget_tokens=args.budget, id_col=args.id_col)

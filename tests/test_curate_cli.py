@@ -83,6 +83,18 @@ def test_cli_substring_spans_and_survivors(spark, tmp_path, capsys):
     assert s2["dropped"] > 0  # corpus near-dups exceed 50% span coverage
 
 
+def test_cli_split(spark, tmp_path, capsys):
+    out = str(tmp_path / "split")
+    s = _run(capsys, ["split", "--input", SF, "--output", out,
+                      "--test-frac", "0.2"])
+    assert s["test"] + s["train"] == s["docs_in"] and s["test"] > 0
+    side = {r["doc_id"]: r["split"] for r in
+            spark.read.parquet(out).select("doc_id", "split").collect()}
+    from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(spark.read.parquet(SF), threshold=0.7).collect()
+    assert pairs and all(side[r["a_id"]] == side[r["b_id"]] for r in pairs)
+
+
 def test_cli_rejects_rate_conflicts(tmp_path, capsys):
     from owl2jsonschema_js_spark.curate import main
 
