@@ -177,18 +177,53 @@ _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648  # glibc LCG, mod 2^31
 
 _SALT_MIX = 2_654_435_761  # Knuth multiplicative-hash constant
 
+_INTEGRAL_KEY_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
-def _lcg_uniform(key: Column, salt: int) -> Column:
-    """Deterministic uniform in [0, 1) from an integral key — two multiplies
-    + mods in bigint space (inputs reduced mod 2^31 first so no product can
-    overflow int64). The salt folds in MULTIPLICATIVELY (``key + salt*Knuth``
-    before the LCG) — an additive post-LCG salt would only shift the uniform
-    by ``salt/2^31`` and leave the sampled set ~unchanged. Identical
-    arithmetic is expressible in ANSI SQL, so sampled row SETS (not just
-    rates) are oracle-checkable; salt=0 keeps the plain
-    ``(key*A + C) % 2^31`` form."""
-    k = (key.cast("bigint") + F.lit(salt * _SALT_MIX)) % _LCG_M
-    return (((k * _LCG_A + _LCG_C) % _LCG_M) / F.lit(float(_LCG_M)))
+
+def _lcg_key(key: Column, dtype: str, caller: str) -> Column:
+    """Reduce a key column to a canonical bigint in [0, 2^31) for the LCG,
+    validating the dtype UP FRONT — the guard that closes the silent
+    wrong-answer trap where a non-numeric id cast to bigint NULLs, making
+    ``u < rate`` never true (empty sample / all-train split, no error).
+
+    * integral keys — ``pmod(key, 2^31)``: pmod, not ``%``, because Spark's
+      ``%`` keeps the dividend's sign, and a NEGATIVE id would otherwise
+      yield u < 0 and be kept at ANY rate (even 0.0);
+    * string keys — :func:`~owl2jsonschema_js_spark.operators.dedup.poly_fold`
+      (31-bit polynomial char fold, base 131 mod 2^31-1): still plain
+      arithmetic, so an external SQL oracle reproduces the sampled SET
+      bit-for-bit (the DuckDB twin is in poly_fold's docstring) — the
+      property ``xxhash64`` lacks;
+    * anything else (double, timestamp, …) raises ValueError.
+
+    NULL keys stay NULL: the sampling predicate is then NULL and the row
+    DROPS on every side that tests it — callers sampling on a nullable key
+    should filter or coalesce first (documented on the public entry points).
+    """
+    base = dtype.lower()
+    if base in _INTEGRAL_KEY_TYPES:
+        return F.pmod(key.cast("bigint"), F.lit(_LCG_M))
+    if base == "string":
+        from owl2jsonschema_js_spark.operators.dedup import poly_fold
+        return poly_fold(key)  # already < 2^31 - 1
+    raise ValueError(
+        f"{caller}: key column has type {dtype!r}; deterministic LCG "
+        "sampling/splitting needs an integral or string key (a silent cast "
+        "would NULL the key and drop or misroute every row). Cast or hash "
+        "the key to bigint/string explicitly first.")
+
+
+def _lcg_uniform(key_reduced: Column, salt: int) -> Column:
+    """Deterministic uniform in [0, 1) from a :func:`_lcg_key`-reduced key —
+    two multiplies + pmods in bigint space (inputs already in [0, 2^31) so no
+    product can overflow int64). The salt folds in MULTIPLICATIVELY
+    (``key + (salt*Knuth mod 2^31)`` before the LCG) — an additive post-LCG
+    salt would only shift the uniform by ``salt/2^31`` and leave the sampled
+    set ~unchanged. Identical arithmetic is expressible in ANSI SQL, so
+    sampled row SETS (not just rates) are oracle-checkable; salt=0 keeps the
+    plain ``(key*A + C) % 2^31`` form."""
+    k = F.pmod(key_reduced + F.lit((salt * _SALT_MIX) % _LCG_M), F.lit(_LCG_M))
+    return F.pmod(k * _LCG_A + _LCG_C, F.lit(_LCG_M)) / F.lit(float(_LCG_M))
 
 
 def hash_sample(docs: DataFrame, rate: float | dict[str, float],
@@ -205,8 +240,16 @@ def hash_sample(docs: DataFrame, rate: float | dict[str, float],
     exchanges), and the SAME key always resolves the same way — re-running a
     grown corpus re-selects the old rows, so incremental pipelines don't
     churn their sample. Different ``salt`` values draw independent samples
-    (held-out splits)."""
-    u = _lcg_uniform(F.col(key_col), salt)
+    (held-out splits).
+
+    Keys may be integral (negatives fold via pmod) or string (31-bit
+    polynomial char hash — still SQL-reproducible, see
+    :func:`~owl2jsonschema_js_spark.operators.dedup.poly_fold` for the DuckDB
+    twin); any other key dtype raises up front rather than silently NULLing.
+    Rows whose key is NULL always drop (the predicate is NULL) — filter or
+    coalesce nullable keys first."""
+    dtype = docs.schema[key_col].dataType.simpleString()
+    u = _lcg_uniform(_lcg_key(F.col(key_col), dtype, "hash_sample"), salt)
     if isinstance(rate, dict):
         if stratum_col is None:
             raise ValueError("per-stratum rates need stratum_col")
@@ -317,18 +360,28 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     case the MERGED cluster re-keys as one unit — sides may flip together,
     never apart). Clustering inherits the dedup lane's driver/distributed
     threshold. Returns ``docs`` + a ``split`` column ('train' | 'test');
-    unpaired docs key on their own id."""
+    unpaired docs key on their own id.
+
+    Ids may be integral (negatives fold via pmod) or string (SQL-reproducible
+    polynomial hash, as in :func:`hash_sample`); other id dtypes raise up
+    front — a silent bigint cast would NULL every key and route the whole
+    corpus to 'train', the exact leak this split exists to prevent. NULL ids
+    route to 'train' (the test predicate is NULL) — validate ids upstream."""
     from owl2jsonschema_js_spark.operators.dedup import dup_clusters
 
     if not (0.0 <= test_frac <= 1.0):
         raise ValueError(f"test_frac out of [0,1]: {test_frac}")
+    id_dtype = docs.schema[id_col].dataType.simpleString()
+    if id_dtype.lower() not in _INTEGRAL_KEY_TYPES | {"string"}:
+        _lcg_key(F.col(id_col), id_dtype, "leakage_safe_split")  # raises
     members = dup_clusters(pairs)
     assign = (members.select(F.col("id").alias(id_col),
                              F.col("cluster_id").alias("_ck"))
               .localCheckpoint(eager=True))
     members.unpersist()
     key = F.coalesce(F.col("_ck"), F.col(id_col))
-    split = F.when(_lcg_uniform(key, salt) < F.lit(float(test_frac)),
+    u = _lcg_uniform(_lcg_key(key, id_dtype, "leakage_safe_split"), salt)
+    split = F.when(u < F.lit(float(test_frac)),
                    F.lit("test")).otherwise(F.lit("train"))
     return (docs.join(assign, id_col, "left")
             .withColumn("split", split).drop("_ck"))

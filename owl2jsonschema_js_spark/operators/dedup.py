@@ -507,22 +507,35 @@ POLY_M1, POLY_M2 = 2147483647, 2147483629  # two 31-bit primes
 POLY_B1, POLY_B2 = 131, 137
 
 
+def poly_fold(t, base: int = POLY_B1, mod: int = POLY_M1):
+    """One 31-bit polynomial string-hash lane: fold ``(acc*base + char) mod
+    prime`` over the characters of ``t`` — plain int64 arithmetic, so an
+    external SQL engine recomputes it exactly (the property xxhash64 lacks).
+    DuckDB twin::
+
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, len(t)+1),
+                         i -> ascii(substr(t, i, 1))::BIGINT)),
+          (acc, c) -> (acc * {base} + c) % {mod})
+
+    Interpreted (aggregate-over-chars) rather than an intrinsic: the
+    oracle/deterministic lane, not the default hot path. Empty strings fold
+    one zero char (== 0); NULL stays NULL."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.pmod(
+            acc * base + F.coalesce(F.ascii(F.substring(t, i, F.lit(1))),
+                                    F.lit(0)),
+            F.lit(mod)))
+
+
 def poly_token_hash(t):
-    """62-bit SQL-reproducible token hash: two independent 31-bit polynomial
-    hashes ((acc*base + char) mod prime, bases 131/137) packed as
-    h1 * 2^31 + h2. Every step is plain int64 arithmetic, so an external SQL
-    oracle recomputes it exactly — the property xxhash64 lacks. Interpreted
-    (aggregate-over-chars) rather than an intrinsic: the oracle lane, not the
-    default hot path."""
-    def fold(base, mod):
-        return F.aggregate(
-            F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1))),
-            F.lit(0).cast("long"),
-            lambda acc, i: F.pmod(
-                acc * base + F.coalesce(F.ascii(F.substring(t, i, F.lit(1))),
-                                        F.lit(0)),
-                F.lit(mod)))
-    return fold(POLY_B1, POLY_M1) * F.lit(2147483648) + fold(POLY_B2, POLY_M2)
+    """62-bit SQL-reproducible token hash: two independent :func:`poly_fold`
+    lanes (bases 131/137, distinct 31-bit prime moduli) packed as
+    h1 * 2^31 + h2."""
+    return (poly_fold(t, POLY_B1, POLY_M1) * F.lit(2147483648)
+            + poly_fold(t, POLY_B2, POLY_M2))
 
 
 def simhash_col(text_col: str = "text", bits: int = 64,
