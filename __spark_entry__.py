@@ -1592,8 +1592,8 @@ def oracle_sql() -> dict[str, str]:
             -- order ('kept' when none), histogrammed
             WITH q AS (
               SELECT doc_id, text,
-                     regexp_split_to_array(trim(text), '\s+') AS toks,
-                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS uniq,
+                     regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks,
+                     list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS uniq,
                      regexp_split_to_array(text, '\n') AS lines
               FROM documents),
             sig AS (
@@ -1624,7 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": f"""
             WITH toks AS (
               SELECT doc_id,
-                     unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+                     unnest(list_distinct(regexp_split_to_array(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))) AS tok
               FROM documents WHERE text IS NOT NULL),
             chars AS (
               SELECT doc_id, tok, CAST(unnest(range(length(tok))) AS INT) AS k
@@ -2022,7 +2022,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": rf"""
             WITH t AS (
               SELECT doc_id,
-                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+                     list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS toks
               FROM documents),
             s AS (
               {lang_arms}),
@@ -2033,8 +2033,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE rn = 1),
             q AS (
               SELECT doc_id, text,
-                     regexp_split_to_array(trim(text), '\s+') AS toks,
-                     list_distinct(regexp_split_to_array(trim(text), '\s+')) AS uniq
+                     regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks,
+                     list_distinct(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS uniq
               FROM documents)
             SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
                    CAST(len(q.toks) AS BIGINT) AS n_tokens,

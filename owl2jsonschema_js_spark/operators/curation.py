@@ -55,7 +55,8 @@ def ngrams_col(text_col: str = "text", n: int = 5) -> Column:
     guarded: its stop never drops below its start)."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    from owl2jsonschema_js_spark.operators.dedup import ws_strip
+    toks = F.split(ws_strip(F.col(text_col)), r"\s+")
     # number of grams; sequence() needs start <= stop, so clamp at 0 and
     # filter the sentinel out for short texts
     n_grams = F.size(toks) - (n - 1)

@@ -33,14 +33,23 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+def ws_strip(col):
+    """Strip ALL leading/trailing whitespace — ``F.trim`` strips spaces only,
+    so tab/newline-padded text would otherwise mint an empty first/last token
+    out of the ``\\s+`` tokenizer (off-by-one token counts, ''-prefixed
+    n-grams). Every tokenizing operator routes through this; the DuckDB
+    oracle twin is ``regexp_replace(text, '^\\s+|\\s+$', '', 'g')``."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def tokens_col(text_col: str = "text", distinct: bool = True):
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = F.split(ws_strip(F.col(text_col)), r"\s+")
     return F.array_distinct(t) if distinct else t
 
 
 def word_ngrams_col(n: int, text_col: str = "text"):
     """Distinct word n-grams as an array column (n=1 -> distinct tokens)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(ws_strip(F.col(text_col)), r"\s+")
     if n == 1:
         return F.array_distinct(toks)
     # slide a window of n over the token array; join with spaces

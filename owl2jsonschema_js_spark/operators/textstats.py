@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from owl2jsonschema_js_spark.operators.dedup import tokens_col
+from owl2jsonschema_js_spark.operators.dedup import tokens_col, ws_strip
 
 # tiny per-language stopword profiles for the n-gram-overlap heuristic
 LANG_PROFILES: dict[str, list[str]] = {
@@ -31,7 +31,7 @@ _BPE_ISH = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 def token_count(text_col: str = "text") -> Column:
     """Whitespace token count; empty/blank text counts 0."""
-    t = F.trim(F.col(text_col))
+    t = ws_strip(F.col(text_col))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
@@ -46,7 +46,7 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
     """(id, n_tokens, distinct_ratio, stopword_ratio, punct_ratio) — the
     classic cheap quality signals for corpus filtering."""
     sw = F.array(*[F.lit(w) for w in (stopwords or LANG_PROFILES["en"])])
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(ws_strip(F.col(text_col)), r"\s+")
     n = F.size(toks).cast("double")
     uniq = F.array_distinct(toks)
     return docs.select(
@@ -96,7 +96,7 @@ def corpus_profile(docs: DataFrame, id_col: str = "doc_id",
     quality_filter for the dup-line ratio — a join here would be a shuffle
     for nothing)."""
     sw = F.array(*[F.lit(w) for w in (stopwords or LANG_PROFILES["en"])])
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(ws_strip(F.col(text_col)), r"\s+")
     uniq = F.array_distinct(toks)
     n = F.size(toks).cast("double")
     best = _lang_best(uniq)

@@ -23,7 +23,8 @@ def docs(spark):
 
 def test_ngrams_col_basic_and_short(spark):
     df = spark.createDataFrame(
-        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "   x   y  z ")],
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "   x   y  z "),
+         (5, "\nfoo bar baz\t")],
         "doc_id long, text string")
     got = {r["doc_id"]: r["g"] for r in
            df.select("doc_id", ngrams_col("text", 3).alias("g")).collect()}
@@ -31,6 +32,7 @@ def test_ngrams_col_basic_and_short(spark):
     assert got[2] == []           # fewer tokens than n
     assert got[3] == []
     assert got[4] == ["x y z"]    # trim + multi-space split
+    assert got[5] == ["foo bar baz"]  # tab/newline padding mints no '' token
 
 
 # ------------------------------------------------------------- decontaminate
@@ -312,8 +314,8 @@ def test_pack_shards_matches_sql_window_cumsum(spark, docs):
     want = {r[0]: (r[1], r[2]) for r in con.execute(f"""
         WITH t AS (
           SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN 0
-                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+                 CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                      ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n,
           FROM '{SF}/documents.parquet')
         SELECT doc_id, n,
                (sum(n) OVER (ORDER BY doc_id
@@ -390,8 +392,8 @@ def test_calibrated_quality_rules_match_duckdb_quantiles(spark, docs):
 
     con = duckdb.connect()
     want_lo, want_hi = con.execute(f"""
-        WITH t AS (SELECT CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+        WITH t AS (SELECT CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                        ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n
                    FROM '{SF}/documents.parquet')
         SELECT quantile_cont(n, 0.1), quantile_cont(n, 0.9) FROM t
     """).fetchone()
@@ -400,8 +402,8 @@ def test_calibrated_quality_rules_match_duckdb_quantiles(spark, docs):
     out = quality_filter(docs, rules=rules)
     kept = {r["doc_id"] for r in out.where("keep").collect()}
     want_kept = {r[0] for r in con.execute(f"""
-        WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+        WITH t AS (SELECT doc_id, CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+                        ELSE len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n
                    FROM '{SF}/documents.parquet')
         SELECT doc_id FROM t WHERE n >= {lo} AND n <= {hi}
     """).fetchall()}

@@ -113,10 +113,12 @@ def test_quality_and_tokens(spark):
     from owl2jsonschema_js_spark.operators.textstats import quality_scores, token_count
 
     df = spark.createDataFrame(
-        [(1, "the cat sat on the mat!"), (2, ""), (3, "x x x x")],
+        [(1, "the cat sat on the mat!"), (2, ""), (3, "x x x x"),
+         (4, "\nfoo bar baz\t"), (5, "\t\n  ")],
         "doc_id long, text string")
     tc = {r["doc_id"]: r["tc"] for r in df.select("doc_id", token_count().alias("tc")).collect()}
-    assert tc == {1: 6, 2: 0, 3: 4}
+    # 4/5: tab/newline padding strips fully — no off-by-one empty token
+    assert tc == {1: 6, 2: 0, 3: 4, 4: 3, 5: 0}
     q = {r["doc_id"]: r for r in quality_scores(df.where("doc_id=1")).collect()}
     assert q[1]["n_tokens"] == 6
     assert abs(q[1]["distinct_ratio"] - 5 / 6) < 1e-9
