@@ -384,9 +384,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     iterative join loop — the distributed loop's per-round fixed cost (3
     joins + an agg × O(log D) rounds) is pure overhead in that regime (a
     477-node graph measured ~9s through the loop vs milliseconds through
-    union-find). Driver state is bounded and documented: ≤ 2·small_graph_max
-    narrow (src, dst) rows ≈ 8 MB at the 250k default — the same O(small)
-    discipline as the runner's ≤10k-key referential fold. ``defer_checks``
+    union-find). Driver state is bounded and documented: the edge list rides
+    the Arrow path (``toPandas`` on the two narrow columns, unpacked to
+    plain-scalar lists — never PySpark Row objects, whose per-row overhead
+    would multiply the footprint several-fold), so the 250k default costs
+    two ≤500k-scalar lists plus the union-find parent dict — tens of MB of
+    plain ints/strs, the same O(small) discipline as the runner's ≤10k-key
+    referential fold. ``defer_checks``
     is loop-only and ignored on this path; ``stats['mode']`` records which
     path ran ('driver' | 'distributed'), with 'rounds' = 0 for driver. Pass
     ``small_graph_max=0`` to force the distributed loop (tests protecting
@@ -398,7 +402,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
              .distinct().persist())
     n_edges = edges.count()  # one job; fills the cache both paths reuse
     if n_edges <= small_graph_max:
-        rows = edges.collect()  # bounded: <= 2 * small_graph_max narrow rows
+        # Arrow collect: two narrow columns to pandas, then .tolist() for
+        # plain Python scalars (createDataFrame below rejects numpy types;
+        # Rows would cost several× the memory at the 250k-edge bound)
+        pdf = edges.toPandas()
+        srcs, dsts = pdf["src"].tolist(), pdf["dst"].tolist()
+        del pdf
         parent: dict = {}
 
         def find(x):
@@ -409,8 +418,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
                 parent[x], x = r, parent[x]
             return r
 
-        for row in rows:
-            a, b = find(row[0]), find(row[1])
+        for a0, b0 in zip(srcs, dsts):
+            a, b = find(a0), find(b0)
             if a != b:
                 if b < a:
                     a, b = b, a
@@ -419,7 +428,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
         edges.unpersist()
         out_schema = T.StructType([T.StructField("id", id_type),
                                    T.StructField("cluster_id", id_type)])
-        data = [(i, find(i)) for i in {row[0] for row in rows}]
+        data = [(i, find(i)) for i in set(srcs)]
         if stats is not None:
             stats.update(rounds=0, mode="driver", n_edges=n_edges)
         final = pairs.sparkSession.createDataFrame(data, out_schema).persist()

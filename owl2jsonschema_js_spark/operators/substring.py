@@ -167,13 +167,18 @@ def substring_dups(docs: DataFrame, min_len: int = 50, k: int = 16,
         hot = (na.join(nb, "h")  # a hash absent on either side pairs nothing
                .where(F.col("na") * F.col("nb") > max_bucket * max_bucket)
                .select("h"))
-    hot_n = hot.persist().count()
+    # eager localCheckpoint, not persist: the (tiny) hot-hash set is read
+    # again by BOTH left_anti pruning joins at action time, AFTER this
+    # function returns — a persist released here would recompute the
+    # hot-bucket aggregate twice over the anchor table. GC reclaims the
+    # checkpoint RDD with the returned frame (repo-wide release pattern).
+    hot = hot.localCheckpoint(eager=True)
+    hot_n = hot.count()
     if stats is not None:
         stats["hot_buckets"] = hot_n
     pruned_a = anchors.join(F.broadcast(hot), "h", "left_anti") if hot_n else anchors
     pruned_b = (anchors_b.join(F.broadcast(hot), "h", "left_anti")
                 if hot_n else anchors_b)
-    hot.unpersist()
 
     a = pruned_a.select(F.col("id").alias("a_id"), F.col("pos").alias("a_pos"), "h")
     b = pruned_b.select(F.col("id").alias("b_id"), F.col("pos").alias("b_pos"), "h")
