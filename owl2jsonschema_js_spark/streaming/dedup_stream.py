@@ -39,16 +39,19 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
 
     Returns an attach(stream_df) factory; call ``.start()`` on the result
     (the per-batch kernel is exposed as ``attach.write_batch`` for direct
-    testing). Replay idempotency: the INDEX append is id-anti-joined against
-    the stored index, so a batch replayed after a crash that followed both
-    appends (or a re-delivered/re-crawled id) appends nothing — duplicated
-    (id, grams, sig) rows would otherwise fan out the verify-join's grams
-    side and multiply emitted pair rows for those ids in every later batch.
-    Remaining exactly-once caveat (documented, standard foreachBatch
-    semantics): a replay after the PAIRS append but before the index append
-    duplicates pair rows for that one batch_id — pairs carry batch_id
-    precisely so downstream consumers can dedup on it; at cluster scale both
-    appends become idempotent Iceberg MERGE/overwrite-by-batch-id commits."""
+    testing). Replay idempotency, BOTH sinks: the INDEX append is
+    id-anti-joined against the stored index, so a batch replayed after a
+    crash that followed both appends (or a re-delivered/re-crawled id)
+    appends nothing — duplicated (id, grams, sig) rows would otherwise fan
+    out the verify-join's grams side and multiply emitted pair rows for
+    those ids in every later batch. The PAIRS sink is overwrite-by-batch-id:
+    each batch owns the ``batch_id=<n>`` partition directory and a replay
+    REWRITES it (recomputed pairs are identical while the index hasn't
+    grown, and a replay after the grow recomputes an empty set against an
+    empty fresh side, which overwrites nothing and leaves the original
+    partition standing) — the parquet emulation of the Iceberg
+    MERGE/overwrite-by-filter commit the same layout uses at cluster scale,
+    making the pairs output exactly-once under foreachBatch crash-replay."""
     from owl2jsonschema_js_spark.operators.dedup import (
         minhash_features, minhash_lsh_pairs_incremental)
 
@@ -86,9 +89,19 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
             shingle_k=shingle_k, threshold=threshold,
             max_bucket=max_bucket, id_col=id_col, text_col=text_col,
             new_feat=fresh, new_feat_is_fresh=True)
+        # dynamic partition overwrite: only partitions PRESENT in the written
+        # data are replaced, so a replay-before-grow rewrites batch_id=<n>
+        # with identical content, while a replay-after-grow (fresh side
+        # empty -> zero pair rows) touches NO partition and the original
+        # commit stands — a plain subdir overwrite would wipe it. Corollary:
+        # the pairs root materializes on the first NONEMPTY batch; readers
+        # that must tolerate an all-empty stream should supply a schema.
         (pairs.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(pairs_path))
-        # append AFTER the pair write so this batch never pairs against
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(pairs_path))
+        # index append AFTER the pair write so this batch never pairs against
         # itself twice (in-batch pairs come from the kernel's new-new side);
         # appending the already-anti-joined fresh rows keeps a crash-replay
         # (or a re-delivered id) from stacking duplicate (id, grams, sig)
@@ -124,11 +137,15 @@ def dedup_monitor_stored(store_root: str, pairs_path: str,
 
     Same replay story as the plain monitor, enforced through the store's
     two-phase prepare/grow API: pairs are committed BEFORE the store grows,
-    so a replay that crashed between them regenerates and re-appends that
-    one batch_id's pairs (at-least-once; dedup downstream on batch_id —
-    Iceberg MERGE at cluster scale), while a replay after the grow is
-    anti-joined to nothing. Growing first would invert this into silent
-    pair LOSS on replay."""
+    so no crash point can lose a batch's pairs, and the commit is an
+    overwrite of that batch's ``batch_id=<n>`` partition — a replay that
+    crashed between the pairs write and the grow regenerates the identical
+    pair set (the store hasn't grown) and rewrites the same partition
+    instead of stacking a duplicate copy, while a replay after the grow
+    prepares an empty fresh side and overwrites nothing. Exactly-once pairs
+    under foreachBatch replay, same as the Iceberg MERGE the layout maps to
+    at cluster scale. Growing first would invert this into silent pair LOSS
+    on replay."""
     from owl2jsonschema_js_spark.operators.lsh_store import LshIndexStore
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -138,7 +155,10 @@ def dedup_monitor_stored(store_root: str, pairs_path: str,
             max_bucket=max_bucket, id_col=id_col, text_col=text_col)
         pairs, fresh = store.prepare(batch_df)
         (pairs.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(pairs_path))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(pairs_path))
         store.grow(fresh)
 
     def attach(stream_df: DataFrame):

@@ -160,6 +160,50 @@ def test_monitor_replayed_batch_does_not_duplicate_index(spark, tmp_path, docs):
     assert got == expected
 
 
+def test_monitor_replay_between_pairs_and_index_no_duplicate_pairs(
+        spark, tmp_path, docs):
+    """THE remaining crash window of the plain monitor (round-5 fix): pairs
+    partition committed, index append lost. The replay regenerates the
+    identical pair set against the un-grown index and must overwrite its
+    batch_id partition rather than append a duplicate copy."""
+    import shutil
+
+    from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    attach = dedup_monitor(index_path, pairs_path,
+                           str(tmp_path / "ckpt"), threshold=0.7)
+    attach.write_batch(half, 0)
+
+    # run batch 1 fully, then roll the INDEX back to its pre-batch state:
+    # the on-disk result is exactly "crashed after the pairs write, before
+    # the index append"
+    snap = str(tmp_path / "index_snap")
+    shutil.copytree(index_path, snap)
+    attach.write_batch(rest, 1)
+    n_batch1 = (spark.read.parquet(pairs_path)
+                .where(F.col("batch_id") == 1).count())
+    assert n_batch1 > 0, "fixture must exercise a nonempty crash window"
+    shutil.rmtree(index_path)
+    shutil.copytree(snap, index_path)
+
+    attach.write_batch(rest, 1)  # the streaming engine's replay
+    all_pairs = spark.read.parquet(pairs_path)
+    assert all_pairs.groupBy("a_id", "b_id").count() \
+        .where("count > 1").count() == 0, "replay duplicated pair rows"
+    assert all_pairs.where(F.col("batch_id") == 1).count() == n_batch1
+    got = _pairset(all_pairs)
+    full = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    assert got == full
+    # index healed on replay: every doc indexed exactly once
+    idx = spark.read.parquet(index_path)
+    assert idx.groupBy("id").count().where("count > 1").count() == 0
+    assert idx.count() == minhash_features(docs).count()
+
+
 def test_dup_clusters_empty_pairs_converges_immediately(spark):
     """Regression (round-3 self-review): sum() over an empty label table is
     NULL — the convergence check must treat that as a fixpoint, not loop to

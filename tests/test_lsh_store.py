@@ -105,10 +105,12 @@ def test_stored_monitor_accumulates_index(spark, docs, tmp_path):
     assert got == full
 
 
-def test_stored_monitor_replay_is_at_least_once_never_lossy(spark, docs, tmp_path):
+def test_stored_monitor_replay_is_exactly_once_never_lossy(spark, docs, tmp_path):
     """Crash-replay semantics of the two-phase prepare/grow ordering: a
-    replay after BOTH appends is a no-op; and because pairs commit before
-    the store grows, no crash point can lose a batch's pairs."""
+    replay after BOTH appends is a no-op (the recomputed pair set is empty,
+    and a dynamic partition overwrite of zero partitions touches nothing);
+    and because pairs commit before the store grows, no crash point can
+    lose a batch's pairs."""
     from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor_stored
 
     half = docs.where(F.col("doc_id") % 2 == 0)
@@ -125,6 +127,46 @@ def test_stored_monitor_replay_is_at_least_once_never_lossy(spark, docs, tmp_pat
     got = _pairset(spark.read.parquet(pairs_path))
     full = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
     assert got == full
+
+
+def test_stored_monitor_replay_between_pairs_and_grow_no_duplicate_pairs(
+        spark, docs, tmp_path):
+    """THE crash window: the pairs partition committed, the grow lost. The
+    replayed batch regenerates the identical pair set (the store hasn't
+    grown) and must OVERWRITE its batch_id partition, not append a second
+    copy — previously this window duplicated that batch's pair rows."""
+    from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor_stored
+
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    rest = docs.where(F.col("doc_id") % 2 == 1)
+    pairs_path = str(tmp_path / "pairs")
+    store_root = str(tmp_path / "store")
+    attach = dedup_monitor_stored(store_root, pairs_path,
+                                  str(tmp_path / "ckpt"), threshold=0.7)
+    attach.write_batch(half, 0)
+
+    # first attempt of batch 1 crashes AFTER the pairs commit, BEFORE grow:
+    # reproduce exactly the monitor's pairs write, then drop the grow
+    store = LshIndexStore(spark, store_root, threshold=0.7)
+    pairs1, _fresh = store.prepare(rest)
+    (pairs1.withColumn("batch_id", F.lit(1))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(pairs_path))
+    n_batch1 = (spark.read.parquet(pairs_path)
+                .where(F.col("batch_id") == 1).count())
+    assert n_batch1 > 0, "fixture must exercise a nonempty crash window"
+
+    attach.write_batch(rest, 1)  # the streaming engine's replay
+    all_pairs = spark.read.parquet(pairs_path)
+    assert all_pairs.groupBy("a_id", "b_id").count() \
+        .where("count > 1").count() == 0, "replay duplicated pair rows"
+    assert all_pairs.where(F.col("batch_id") == 1).count() == n_batch1
+    got = _pairset(all_pairs)
+    full = _pairset(minhash_lsh_pairs(docs, threshold=0.7))
+    assert got == full
+    # and the grow completed on replay: a further replay is a no-op
+    attach.write_batch(rest, 1)
+    assert spark.read.parquet(pairs_path).count() == all_pairs.count()
 
 
 def test_partial_grow_crash_is_healed_by_replay(spark, docs, tmp_path):
