@@ -123,11 +123,26 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
 # per-class and independent; a token matching two classes counts in both
 # (documented, and redaction order below resolves replacement overlap
 # deterministically: longest/most-specific first).
+#
+# SCOPE: this dict is a demo POLICY, not a compliance catalog — real
+# deployments pass their own ``patterns=`` (the operators are
+# policy-agnostic; any RE2-safe dict works and inherits the same oracle
+# parity). The built-ins cover the common US shapes (SSN, NANP phone,
+# 16-digit cards) plus the international classes a transcript corpus most
+# often leaks: IBAN account numbers (ISO 13616 shape: country code + check
+# digits + 11-30 alnum BBAN), E.164 international phone numbers
+# (+country-code, 8-15 digits total), and full-form IPv6 addresses.
+# Formats with no regular structure (national IDs, passports — largely
+# arbitrary per-country digit runs) are explicitly out of scope for a
+# pattern policy and belong to an NER pass.
 PII_PATTERNS: dict[str, str] = {
     "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "phone_e164": r"\+[1-9]\d{7,14}\b",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv6": r"\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

@@ -120,6 +120,52 @@ def test_pii_credit_card_never_leaks_phone_tail(spark):
     assert t == "pay [CREDIT_CARD] now"
 
 
+INTL_PII_TEXT = ("wire to DE89370400440532013000, call +442071838750, "
+                 "node at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 done")
+
+
+def test_pii_intl_classes_scan_and_redact(spark):
+    """Round-5 scope broadening: IBAN, E.164 phone and IPv6 detect and
+    redact; the US classes stay silent on international-only text."""
+    df = spark.createDataFrame([(1, INTL_PII_TEXT)], "doc_id long, text string")
+    row = pii_scan(df).collect()[0]
+    assert row["pii_iban"] == 1
+    assert row["pii_phone_e164"] == 1
+    assert row["pii_ipv6"] == 1
+    assert row["pii_ssn"] == 0 and row["pii_phone"] == 0
+    assert row["pii_credit_card"] == 0 and row["pii_ipv4"] == 0
+    assert row["pii_total"] == 3
+    t = pii_redact(df).collect()[0]["text"]
+    for tok in ("[IBAN]", "[PHONE_E164]", "[IPV6]"):
+        assert tok in t
+    for leak in ("DE8937", "442071838750", "0db8:85a3"):
+        assert leak not in t
+
+
+def test_pii_intl_duckdb_parity(spark):
+    """The new RE2-safe patterns count identically in Spark and DuckDB."""
+    import pandas as pd
+
+    rows = [INTL_PII_TEXT,
+            "plain text with no pii at all",
+            "two ibans GB29NWBK60161331926819 and FR1420041010050500013M02606",
+            "+15551234567 then +919876543210"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               "doc_id long, text string")
+    got = (pii_scan(df).agg(
+        F.sum("pii_iban").alias("i"), F.sum("pii_phone_e164").alias("p"),
+        F.sum("pii_ipv6").alias("v")).collect()[0])
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"text": rows}))
+    want = con.execute(f"""
+        SELECT sum(len(regexp_extract_all(text, '{PII_PATTERNS["iban"]}'))),
+               sum(len(regexp_extract_all(text, '{PII_PATTERNS["phone_e164"]}'))),
+               sum(len(regexp_extract_all(text, '{PII_PATTERNS["ipv6"]}')))
+        FROM t
+    """).fetchone()
+    assert (got["i"], got["p"], got["v"]) == want == (3, 3, 1)
+
+
 def test_pii_scan_zero_exchange_plan(spark, docs):
     plan = pii_scan(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
