@@ -392,6 +392,60 @@ def test_semantic_dedup_survivors_deterministic(spark):
     assert sorted(r["vec_id"] for r in surv.collect()) == [1, 4, 5]
 
 
+def test_semantic_dedup_survivors_matches_exact_cosine_oracle(spark):
+    """Round-5: the COMPOSED lane (RHP-LSH pairs -> connected components ->
+    survivor anti-join) graded end-to-end against a DuckDB exact-cosine +
+    recursive-CTE-closure oracle on a planted corpus. Planted duplicates are
+    positive scalings (cosine exactly 1.0 -> identical sign bits -> LSH
+    collision in EVERY band), and the oracle itself asserts the qualifying
+    pair set is exactly the planted one — so this is an exact equality, not
+    a recall test. Chain {0,100,101} + pair {5,200} must collapse to their
+    min ids through transitive closure."""
+    import duckdb
+    import pandas as pd
+
+    from owl2jsonschema_js_spark.operators.dedup import semantic_dedup_survivors
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [(100, (2.0 * base[0]).tolist()), (101, (0.5 * base[0]).tolist()),
+             (200, (3.0 * base[5]).tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    surv = semantic_dedup_survivors(emb, threshold=0.9, dim=16)
+    got = sorted(r["vec_id"] for r in surv.collect())
+
+    con = duckdb.connect()
+    con.register("emb", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}))
+    # the construction's precondition: exact-cosine >= 0.9 pairs are exactly
+    # the planted mirrors (no organic near-pair at this seed)
+    pairs = con.execute("""
+        SELECT a.vec_id, b.vec_id FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+        ORDER BY 1, 2
+    """).fetchall()
+    assert pairs == [(0, 100), (0, 101), (5, 200), (100, 101)]
+    want = [r[0] for r in con.execute("""
+        WITH RECURSIVE p AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+        e AS (SELECT a_id AS s, b_id AS t FROM p UNION SELECT b_id, a_id FROM p),
+        reach(id, lbl) AS (
+          SELECT s, s FROM e
+          UNION
+          SELECT e.s, r.lbl FROM e JOIN reach r ON e.t = r.id),
+        comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+        SELECT vec_id FROM emb
+        WHERE vec_id NOT IN (SELECT id FROM comp WHERE id != cluster_id)
+        ORDER BY vec_id
+    """).fetchall()]
+    assert got == want
+    assert set(got) & {100, 101, 200} == set() and {0, 5} <= set(got)
+
+
 def test_rhp_lsh_pairs_leaves_no_session_cache(spark, emb):
     """rhp_lsh_pairs' internal signature/vector frames must be GC-released
     localCheckpoints, not session-lifetime persists — semantic_dedup_survivors
