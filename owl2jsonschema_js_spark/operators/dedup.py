@@ -395,7 +395,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
     path ran ('driver' | 'distributed'), with 'rounds' = 0 for driver. Pass
     ``small_graph_max=0`` to force the distributed loop (tests protecting
     the O(log D) claim do). At 10^12-row scale pair sets can exceed any
-    driver budget — the loop remains the default above the threshold."""
+    driver budget — the loop remains the default above the threshold. The
+    250k constant is bench-justified (``bench_cc_crossover.py`` →
+    ``BENCH/cc_diameter.md``): on post-LSH-shaped graphs the driver path is
+    ~10× faster AT the threshold and stays ahead to ~1M edges (wall
+    crossover between 1M and 4M), so the default is conservative on both
+    axes — everything routed to the driver is faster there, and the refusal
+    above 250k is a driver-state bound, not a performance one."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
