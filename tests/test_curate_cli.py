@@ -95,6 +95,34 @@ def test_cli_split(spark, tmp_path, capsys):
     assert pairs and all(side[r["a_id"]] == side[r["b_id"]] for r in pairs)
 
 
+def test_cli_sample_and_split_on_string_ids(spark, tmp_path, capsys):
+    """The real-transcript-corpus shape: conv_id-style STRING doc ids through
+    the spark-submit surface. Before the round-5 key guard this silently
+    produced an empty sample and an all-train split."""
+    src = str(tmp_path / "strdocs.parquet")
+    spark.read.parquet(SF) \
+        .selectExpr("concat('conv-', cast(doc_id as string)) AS doc_id",
+                    "text", "source") \
+        .write.parquet(src)
+
+    out = str(tmp_path / "ssample")
+    s = _run(capsys, ["sample", "--input", src, "--output", out,
+                      "--rate", "0.3"])
+    assert 0 < s["kept"] < s["docs_in"], "string-keyed sample must be nonempty"
+
+    out2 = str(tmp_path / "ssplit")
+    s2 = _run(capsys, ["split", "--input", src, "--output", out2,
+                       "--test-frac", "0.2"])
+    assert s2["test"] + s2["train"] == s2["docs_in"]
+    assert s2["test"] > 0 and s2["train"] > 0, \
+        "string-keyed split must populate both sides"
+    side = {r["doc_id"]: r["split"] for r in
+            spark.read.parquet(out2).select("doc_id", "split").collect()}
+    from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(spark.read.parquet(src), threshold=0.7).collect()
+    assert pairs and all(side[r["a_id"]] == side[r["b_id"]] for r in pairs)
+
+
 def test_cli_rejects_rate_conflicts(tmp_path, capsys):
     from owl2jsonschema_js_spark.curate import main
 
