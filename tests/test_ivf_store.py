@@ -1,0 +1,100 @@
+"""Persisted IVF index (operators/ivf_store.py): exactness at full probe,
+incremental growth == full rebuild semantics, replay idempotency, and the
+partition-pruning plan gate that realizes the IVF scan saving on disk."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.operators.ivf_store import IvfIndexStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .select("vec_id", "embedding").cache()
+
+
+def _brute_topk(rows, queries, k):
+    """(query_id, vec_id) rank list via numpy float64 dot, ties on vec_id."""
+    ids = np.array([r[0] for r in rows])
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    out = {}
+    for j, q in enumerate(queries):
+        s = M @ np.asarray(q, dtype=np.float64)
+        order = sorted(range(len(ids)), key=lambda i: (-s[i], ids[i]))[:k]
+        out[j] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_create_query_full_probe_equals_brute_force(spark, emb, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"), n_centroids=8)
+    store.create(emb)
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    queries = [r["embedding"] for r in
+               emb.where("vec_id < 4").orderBy("vec_id").collect()]
+
+    got = store.query(queries, k=5, nprobe=8)  # nprobe = n_centroids: exact
+    by_q = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q == _brute_topk(rows, queries, 5)
+
+
+def test_increment_then_query_covers_full_corpus(spark, emb, tmp_path):
+    """create(old) + increment(new) answers over the WHOLE corpus exactly
+    (full probe), with the quantizer frozen at create time; a replayed
+    increment appends nothing and changes nothing."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf2"), n_centroids=8)
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    store.create(old)
+    n_added = store.increment(new)
+    assert n_added == new.count()
+
+    rows = [(r["vec_id"], r["embedding"]) for r in emb.collect()]
+    queries = [r["embedding"] for r in
+               emb.where("vec_id < 3").orderBy("vec_id").collect()]
+    got = store.query(queries, k=4, nprobe=8)
+    by_q = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q == _brute_topk(rows, queries, 4)
+
+    # replay / re-crawl idempotency: same increment again is a no-op
+    assert store.increment(new) == 0
+    assert store._postings().count() == emb.count()
+    assert store._postings().groupBy("vec_id").count() \
+        .where("count > 1").count() == 0
+    got2 = store.query(queries, k=4, nprobe=8)
+    assert sorted(map(tuple, got2.select("query_id", "vec_id", "rank")
+                      .collect())) == \
+        sorted(map(tuple, got.select("query_id", "vec_id", "rank").collect()))
+
+
+def test_query_scan_is_partition_pruned(spark, emb, tmp_path):
+    """The on-disk IVF saving: probing nprobe of n_centroids lists must reach
+    the parquet scan as a PARTITION filter on list_id — unprobed lists are
+    never read."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf3"), n_centroids=8)
+    store.create(emb)
+    pruned = store._postings().where(F.col("list_id").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters")[1][:300]
+    assert "list_id" in part_section, part_section
+    # and a low-probe query returns only rows from probed lists
+    q = [emb.where("vec_id = 0").first()["embedding"]]
+    got = store.query(q, k=3, nprobe=1)
+    assert 0 < got.count() <= 3
+
+
+def test_stats_profile_sums_to_corpus(spark, emb, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf4"), n_centroids=8)
+    store.create(emb)
+    s = store.stats()
+    assert s["n_vectors"] == emb.count()
+    assert s["n_lists"] <= 8 and s["max_list"] >= 1
+    assert 0.0 < s["max_list_frac"] <= 1.0
