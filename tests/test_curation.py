@@ -35,6 +35,26 @@ def test_ngrams_col_basic_and_short(spark):
     assert got[5] == ["foo bar baz"]  # tab/newline padding mints no '' token
 
 
+def test_distinct_ngrams_udf_equals_expression_form(spark, docs):
+    """The Arrow gram builder must tokenize BIT-IDENTICALLY to the Catalyst
+    expression form (and so to the DuckDB oracles) — including tab/newline
+    padding, multi-space runs, short texts, and NBSP (unicode space, which
+    Java/RE2 \\s does NOT split on; a plain python .split() would)."""
+    from owl2jsonschema_js_spark.operators.curation import distinct_ngrams_udf
+
+    hostile = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b"), (3, ""), (4, "  x\ty\nz w v u  "),
+         (5, "p\xa0q r s t u"), (6, None)],
+        "doc_id long, text string")
+    for df in (hostile, docs.limit(200)):
+        both = df.select(
+            "doc_id",
+            F.array_sort(distinct_ngrams_udf(5)(F.col("text"))).alias("arrow"),
+            F.array_sort(F.array_distinct(ngrams_col("text", 5))).alias("expr"))
+        bad = both.where(F.col("arrow") != F.col("expr"))
+        assert bad.count() == 0, bad.limit(3).collect()
+
+
 # ------------------------------------------------------------- decontaminate
 
 def test_decontaminate_planted_overlap(spark):
