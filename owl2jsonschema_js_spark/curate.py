@@ -12,6 +12,8 @@ pii            per-doc PII counts; --redact writes the scrubbed corpus
 sample         deterministic LCG sample; --rate or --rates src0=0.5,src1=0.1
 pack           token-budget shard assignment (exact global cumsum)
 split          leakage-safe train/test split (near-dup clusters move as units)
+ann-build      create/grow a persisted IVF index (--index root; --grow appends)
+ann-query      batched top-k over a persisted IVF index (--queries parquet)
 
 Every command reads parquet via TableIO (Iceberg when the runtime jar is
 present), writes parquet to --output, and prints one JSON summary line.
@@ -84,14 +86,36 @@ def main(argv: list[str] | None = None) -> int:
                         "the split clusters over")
     p.add_argument("--salt", type=int, default=0)
 
+    p = sub.add_parser("ann-build")
+    p.add_argument("--input", required=True)
+    p.add_argument("--index", required=True, help="index root directory")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--n-centroids", type=int, default=16)
+    p.add_argument("--train-iters", type=int, default=2)
+    p.add_argument("--grow", action="store_true",
+                   help="append to an existing index (quantizer frozen) "
+                        "instead of (re)building it")
+
+    p = sub.add_parser("ann-query")
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", required=True,
+                   help="parquet of query vectors (same id/vec columns)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--nprobe", type=int, default=4)
+
     args = ap.parse_args(argv)
 
     from owl2jsonschema_js_spark.sources import TableIO
 
     spark = SparkSession.builder.appName(
         f"owl2jsonschema_js_spark-curate-{args.cmd}").getOrCreate()
-    docs = TableIO(spark, args.input).read()
-    n_in = docs.count()
+    in_path = getattr(args, "input", None)  # ann-query reads --queries only
+    docs = TableIO(spark, in_path).read() if in_path else None
+    n_in = docs.count() if docs is not None else 0
 
     if args.cmd == "dedup":
         from owl2jsonschema_js_spark.operators.dedup import (dedup_survivors,
@@ -189,6 +213,32 @@ def main(argv: list[str] | None = None) -> int:
                    "test": by.get("test", 0), "train": by.get("train", 0),
                    "salt": args.salt}
         pairs.unpersist()
+    elif args.cmd == "ann-build":
+        from owl2jsonschema_js_spark.operators.ivf_store import IvfIndexStore
+        store = IvfIndexStore(spark, args.index, n_centroids=args.n_centroids,
+                              train_iters=args.train_iters,
+                              id_col=args.id_col, vec_col=args.vec_col)
+        if args.grow:
+            added = store.increment(docs)
+            summary = {"cmd": "ann-build", "grow": True,
+                       "vectors_in": n_in, "appended": added}
+        else:
+            store.create(docs)
+            st = {k: v for k, v in store.stats().items() if k != "sizes"}
+            summary = {"cmd": "ann-build", "grow": False,
+                       "vectors_in": n_in, **st}
+    elif args.cmd == "ann-query":
+        from owl2jsonschema_js_spark.operators.ivf_store import IvfIndexStore
+        store = IvfIndexStore(spark, args.index,
+                              id_col=args.id_col, vec_col=args.vec_col)
+        qrows = (TableIO(spark, args.queries).read()
+                 .orderBy(args.id_col).collect())  # query batches are small
+        out = store.query([r[args.vec_col] for r in qrows],
+                          k=args.k, nprobe=args.nprobe)
+        out.write.mode("overwrite").parquet(args.output)
+        summary = {"cmd": "ann-query", "n_queries": len(qrows), "k": args.k,
+                   "nprobe": args.nprobe,
+                   "rows": spark.read.parquet(args.output).count()}
     else:  # pack
         from owl2jsonschema_js_spark.operators.curation import pack_shards
         out = pack_shards(docs, budget_tokens=args.budget, id_col=args.id_col)

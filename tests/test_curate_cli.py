@@ -123,6 +123,42 @@ def test_cli_sample_and_split_on_string_ids(spark, tmp_path, capsys):
     assert pairs and all(side[r["a_id"]] == side[r["b_id"]] for r in pairs)
 
 
+def test_cli_ann_build_grow_query(spark, tmp_path, capsys):
+    """Persisted-IVF CLI lifecycle: build on half the vectors, grow with the
+    other half (replay-idempotent), then batched query at full probe returns
+    k ranked rows per query with each query's own vector ranked first."""
+    emb_src = "/root/testdata/sf0.001/embeddings.parquet"
+    half = str(tmp_path / "half.parquet")
+    rest = str(tmp_path / "rest.parquet")
+    emb = spark.read.parquet(emb_src).select("vec_id", "embedding")
+    emb.where("vec_id % 2 = 0").write.parquet(half)
+    emb.where("vec_id % 2 = 1").write.parquet(rest)
+    idx = str(tmp_path / "ivf")
+
+    s = _run(capsys, ["ann-build", "--input", half, "--index", idx,
+                      "--n-centroids", "8"])
+    assert s["n_vectors"] == s["vectors_in"] > 0
+    s2 = _run(capsys, ["ann-query", "--index", idx, "--queries", half,
+                       "--output", str(tmp_path / "q0"), "--k", "1",
+                       "--nprobe", "8"])
+    assert s2["rows"] == s2["n_queries"]
+
+    g = _run(capsys, ["ann-build", "--input", rest, "--index", idx, "--grow"])
+    assert g["appended"] > 0
+    g2 = _run(capsys, ["ann-build", "--input", rest, "--index", idx, "--grow"])
+    assert g2["appended"] == 0  # replayed grow is a no-op
+
+    queries = str(tmp_path / "queries.parquet")
+    emb.where("vec_id < 3").write.parquet(queries)
+    out = str(tmp_path / "topk")
+    s3 = _run(capsys, ["ann-query", "--index", idx, "--queries", queries,
+                       "--output", out, "--k", "3", "--nprobe", "8"])
+    assert s3["rows"] == 9
+    top = spark.read.parquet(out)
+    rank1 = {r["query_id"]: r["vec_id"] for r in top.where("rank = 1").collect()}
+    assert rank1 == {0: 0, 1: 1, 2: 2}  # full probe: self is its own nearest
+
+
 def test_cli_rejects_rate_conflicts(tmp_path, capsys):
     from owl2jsonschema_js_spark.curate import main
 
