@@ -46,35 +46,73 @@ __all__ = ["IvfIndexStore"]
 class IvfIndexStore:
     """Parquet-backed IVF index (Iceberg tables at cluster scale — same
     TableIO story as the LSH store). All methods are driver-cheap: the only
-    driver state is the centroid matrix (kilobytes)."""
+    driver state is the centroid matrix (kilobytes).
+
+    Crash consistency: the quantizer and the assignments MUST come from the
+    same build — a crash between writing new centroids and re-assigned
+    postings would leave queries pruning by one quantizer over lists chosen
+    by another, a silent recall hole. Each :meth:`create` therefore writes
+    into a fresh ``epoch=<k>`` directory and COMMITS it by appending one row
+    to the ``epochs`` log LAST (a Spark append is job-committed: a crash
+    mid-build leaves no log row, and readers keep serving the previous
+    epoch; a half-written epoch directory is simply never referenced). At
+    cluster scale the epoch commit maps to an Iceberg snapshot commit.
+    Increments append postings INSIDE the current epoch — append is
+    job-atomic and id-anti-joined, so any crash/replay point is safe."""
 
     def __init__(self, spark: SparkSession, root: str,
                  n_centroids: int = 16, train_iters: int = 2, seed: int = 42,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
         self.spark = spark
         self.root = root.rstrip("/")
-        self.centroids_path = f"{self.root}/centroids"
-        self.postings_path = f"{self.root}/postings"
+        self.epochs_path = f"{self.root}/epochs"
         self.n_centroids = n_centroids
         self.train_iters = train_iters
         self.seed = seed
         self.id_col = id_col
         self.vec_col = vec_col
 
+    def _epoch(self) -> int:
+        from pyspark.errors import AnalysisException
+        try:
+            row = (self.spark.read.parquet(self.epochs_path)
+                   .agg(F.max("epoch").alias("e")).first())
+        except AnalysisException:
+            raise ValueError(
+                f"no committed epoch under {self.root!r} — run create() "
+                "first (a crashed create leaves no commit row by design)")
+        return int(row["e"])
+
+    @property
+    def centroids_path(self) -> str:
+        return f"{self.root}/epoch={self._epoch()}/centroids"
+
+    @property
+    def postings_path(self) -> str:
+        return f"{self.root}/epoch={self._epoch()}/postings"
+
     # ------------------------------------------------------------- lifecycle
     def create(self, emb: DataFrame) -> None:
-        """Train the quantizer on ``emb`` and (re)build both tables. This is
-        the only operation that moves the whole corpus — increments never
-        re-assign stored vectors."""
+        """Train the quantizer on ``emb`` and build both tables into a NEW
+        epoch, committed last. This is the only operation that moves the
+        whole corpus — increments never re-assign stored vectors."""
+        try:
+            k = self._epoch() + 1
+        except ValueError:
+            k = 1
         cents = ivf_train_centroids(emb, self.n_centroids, self.train_iters,
                                     self.seed, self.id_col, self.vec_col)
         rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
         (self.spark.createDataFrame(rows, "list_id int, centroid array<double>")
          .coalesce(1)
-         .write.mode("overwrite").parquet(self.centroids_path))
+         .write.mode("overwrite").parquet(f"{self.root}/epoch={k}/centroids"))
         (self._assigned(emb, cents)
          .write.mode("overwrite").partitionBy("list_id")
-         .parquet(self.postings_path))
+         .parquet(f"{self.root}/epoch={k}/postings"))
+        # the COMMIT: one appended row; everything above is invisible until
+        # this lands, and a crash before it leaves the previous epoch serving
+        (self.spark.createDataFrame([(k,)], "epoch int")
+         .coalesce(1).write.mode("append").parquet(self.epochs_path))
 
     def increment(self, new_emb: DataFrame) -> int:
         """Assign ``new_emb`` to the EXISTING lists and append; already-
@@ -83,14 +121,15 @@ class IvfIndexStore:
         — centroid drift surfaces in :meth:`stats`, not in silent reshuffles.
         """
         cents = self.centroids()
+        postings_path = self.postings_path  # resolve the epoch once
         fresh = (self._assigned(new_emb, cents)
-                 .join(self._postings().select(self.id_col), self.id_col,
-                       "left_anti")
+                 .join(self.spark.read.parquet(postings_path)
+                       .select(self.id_col), self.id_col, "left_anti")
                  .localCheckpoint(eager=True))  # pin: counted AND written
         n = fresh.count()
         if n:
             fresh.write.mode("append").partitionBy("list_id") \
-                .parquet(self.postings_path)
+                .parquet(postings_path)
         return n
 
     # ----------------------------------------------------------------- query

@@ -91,6 +91,47 @@ def test_query_scan_is_partition_pruned(spark, emb, tmp_path):
     assert 0 < got.count() <= 3
 
 
+def test_crashed_rebuild_keeps_serving_previous_epoch(spark, emb, tmp_path):
+    """Epoch commit discipline: a rebuild that crashes before its commit-log
+    append leaves a half-written epoch directory that is NEVER referenced —
+    queries keep serving the previous epoch's consistent quantizer+postings
+    (the failure that a flat layout turns into a silent recall hole)."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf5"), n_centroids=8)
+    store.create(emb)
+    before = store.centroids()
+    queries = [emb.where("vec_id = 0").first()["embedding"]]
+    want = sorted(map(tuple, store.query(queries, k=4, nprobe=8)
+                      .select("vec_id", "rank").collect()))
+
+    # simulate a crashed create: both tables of epoch 2 written, commit lost
+    cents = store.centroids()
+    (spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents[::-1])],
+        "list_id int, centroid array<double>")
+     .write.mode("overwrite").parquet(f"{store.root}/epoch=2/centroids"))
+    (store._assigned(emb.limit(10), cents)
+     .write.mode("overwrite").partitionBy("list_id")
+     .parquet(f"{store.root}/epoch=2/postings"))
+
+    assert store._epoch() == 1
+    assert np.allclose(store.centroids(), before)
+    got = sorted(map(tuple, store.query(queries, k=4, nprobe=8)
+                     .select("vec_id", "rank").collect()))
+    assert got == want
+    # a completed rebuild OVERWRITES the crashed epoch-2 leftovers (mode
+    # overwrite heals the half-written directory), commits it, and serves
+    # the full corpus again
+    store.create(emb)
+    assert store._epoch() == 2
+    assert store._postings().count() == emb.count()
+
+
+def test_uncommitted_store_raises_loudly(spark, tmp_path):
+    store = IvfIndexStore(spark, str(tmp_path / "ivf6"))
+    with pytest.raises(ValueError, match="no committed epoch"):
+        store.query([[0.0] * 64], k=1)
+
+
 def test_stats_profile_sums_to_corpus(spark, emb, tmp_path):
     store = IvfIndexStore(spark, str(tmp_path / "ivf4"), n_centroids=8)
     store.create(emb)
