@@ -64,13 +64,18 @@ def ngrams_col(text_col: str = "text", n: int = 5) -> Column:
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     from owl2jsonschema_js_spark.operators.dedup import ws_strip
-    toks = F.split(ws_strip(F.col(text_col)), r"\s+")
+    stripped = ws_strip(F.col(text_col))
+    toks = F.split(stripped, r"\s+")
     # number of grams; sequence() needs start <= stop, so clamp at 0 and
-    # filter the sentinel out for short texts
+    # filter the sentinel out for short texts. The extra blank guard closes
+    # the n=1 phantom-gram hole (Spark's split('') yields [''], so blank
+    # text would otherwise emit one EMPTY unigram — hypothesis-found;
+    # distinct_ngrams_udf never had it).
     n_grams = F.size(toks) - (n - 1)
     idx = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<string>"))
+    return F.when((n_grams >= 1) & (F.length(stripped) > 0), grams) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def distinct_ngrams_udf(n: int = 5):

@@ -180,3 +180,57 @@ def test_fuzz_inheritance_chain_agrees_with_jsonschema(spark, frags, values):
         ok = ok & r.ok
     got = [bool(r[0]) for r in df.select(ok).collect()]
     assert got == expected, f"chain={json.dumps(frags)} values={values}"
+
+
+# ------------------------------------------------- round-5 parity kernels
+# hostile-text alphabet: ASCII words + every Java-\s whitespace char + the
+# unicode spaces Java/RE2 \s does NOT match (NBSP, EM SPACE) — the exact
+# characters where python .split() and the engine's tokenizer could fork
+_HOSTILE_TEXT = st.text(
+    alphabet=st.sampled_from(list("abWX12.,!") + [" ", "\t", "\n", "\r",
+                                                  "\x0b", "\x0c",
+                                                  "\xa0", " "]),
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_HOSTILE_TEXT, min_size=1, max_size=8),
+       n=st.integers(1, 4))
+def test_fuzz_arrow_ngrams_equal_expression_form(spark, texts, n):
+    """distinct_ngrams_udf (Arrow hot path) and ngrams_col (Catalyst
+    expression form, which the DuckDB oracles mirror) must tokenize
+    identically on arbitrary whitespace-hostile text — any fork here would
+    silently skew decontamination counts."""
+    from owl2jsonschema_js_spark.operators.curation import (
+        distinct_ngrams_udf, ngrams_col)
+
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    both = df.select(
+        F.array_sort(distinct_ngrams_udf(n)(F.col("text"))).alias("arrow"),
+        F.array_sort(F.array_distinct(ngrams_col("text", n))).alias("expr"))
+    for r in both.collect():
+        assert r["arrow"] == r["expr"], texts
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(st.text(alphabet=st.characters(min_codepoint=1,
+                                                    max_codepoint=0x2FF),
+                             min_size=0, max_size=24),
+                     min_size=1, max_size=8))
+def test_fuzz_poly_fold_matches_python_reference(spark, keys):
+    """poly_fold (the string-key lane of the LCG sampler and the simhash
+    oracle hash) == the plain-arithmetic reference fold, char for char —
+    the property that makes sampled row SETS reproducible in external SQL."""
+    from owl2jsonschema_js_spark.operators.dedup import POLY_B1, POLY_M1, poly_fold
+
+    def ref(s: str) -> int:
+        acc = 0
+        for ch in (s or "\x00"):  # empty string folds one zero char
+            acc = (acc * POLY_B1 + ord(ch)) % POLY_M1
+        return acc
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = [r[0] for r in df.select(poly_fold(F.col("k"))).collect()]
+    assert got == [ref(k) for k in keys], keys
