@@ -13,7 +13,8 @@ sample         deterministic LCG sample; --rate or --rates src0=0.5,src1=0.1
 pack           token-budget shard assignment (exact global cumsum)
 split          leakage-safe train/test split (near-dup clusters move as units)
 ann-build      create/grow a persisted IVF index (--index root; --grow appends)
-ann-query      batched top-k over a persisted IVF index (--queries parquet)
+ann-query      batched top-k over a persisted IVF index (--queries parquet;
+               output rows carry query_<id-col> = the query's real id)
 
 Every command reads parquet via TableIO (Iceberg when the runtime jar is
 present), writes parquet to --output, and prints one JSON summary line.
@@ -231,10 +232,17 @@ def main(argv: list[str] | None = None) -> int:
         from owl2jsonschema_js_spark.operators.ivf_store import IvfIndexStore
         store = IvfIndexStore(spark, args.index,
                               id_col=args.id_col, vec_col=args.vec_col)
-        qrows = (TableIO(spark, args.queries).read()
-                 .orderBy(args.id_col).collect())  # query batches are small
+        qdf = TableIO(spark, args.queries).read()
+        qrows = qdf.orderBy(args.id_col).collect()  # query batches are small
         out = store.query([r[args.vec_col] for r in qrows],
                           k=args.k, nprobe=args.nprobe)
+        # store.query ids results by batch POSITION; map back to the
+        # caller's real query ids so the output joins against --queries
+        qid_t = qdf.schema[args.id_col].dataType.simpleString()
+        id_map = spark.createDataFrame(
+            [(i, r[args.id_col]) for i, r in enumerate(qrows)],
+            f"query_id int, query_{args.id_col} {qid_t}")
+        out = out.join(F.broadcast(id_map), "query_id").drop("query_id")
         out.write.mode("overwrite").parquet(args.output)
         summary = {"cmd": "ann-query", "n_queries": len(qrows), "k": args.k,
                    "nprobe": args.nprobe,

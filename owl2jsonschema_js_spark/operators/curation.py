@@ -183,12 +183,16 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
 # arbitrary per-country digit runs) are explicitly out of scope for a
 # pattern policy and belong to an NER pass.
 PII_PATTERNS: dict[str, str] = {
+    # email FIRST: its local part admits '+digits', dots, and dashes, so
+    # phone_e164 / ssn / ipv4 can all match INSIDE an address (e.g. the
+    # plus-addressed 'john+20260818@gmail.com'); redacting a sub-span first
+    # would break the email match and leak the address remainder.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
     "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
     "phone_e164": r"\+[1-9]\d{7,14}\b",
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv6": r"\b[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){7}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
@@ -221,8 +225,10 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
                token: str = "[{cls}]") -> DataFrame:
     """Replace every PII match with a class token (``[EMAIL]`` by default),
     preserving all other columns. Replacement order is the dict's iteration
-    order — the default puts the most specific numeric shapes (credit card)
-    before substring-prone ones (phone/ssn), so a 16-digit card never leaks a
+    order — the default redacts superstring shapes before their sub-spans:
+    email before phone_e164/ssn/ipv4 (all of which can match inside an
+    address's local part or host, e.g. plus-addressed 'a+123456789@x.com'),
+    and credit card before phone, so a 16-digit card never leaks a
     phone-shaped tail. Row-local, zero exchanges."""
     pats = patterns or PII_PATTERNS
     col = F.col(text_col)
@@ -435,8 +441,10 @@ def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
     if not (0.0 <= test_frac <= 1.0):
         raise ValueError(f"test_frac out of [0,1]: {test_frac}")
     id_dtype = docs.schema[id_col].dataType.simpleString()
-    if id_dtype.lower() not in _INTEGRAL_KEY_TYPES | {"string"}:
-        _lcg_key(F.col(id_col), id_dtype, "leakage_safe_split")  # raises
+    # fail fast on an unusable id dtype BEFORE paying for clustering; the
+    # result is discarded — _lcg_key is the single source of truth for
+    # which dtypes the LCG lanes accept
+    _lcg_key(F.col(id_col), id_dtype, "leakage_safe_split")
     members = dup_clusters(pairs)
     assign = (members.select(F.col("id").alias(id_col),
                              F.col("cluster_id").alias("_ck"))

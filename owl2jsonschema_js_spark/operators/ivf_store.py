@@ -91,6 +91,20 @@ class IvfIndexStore:
     def postings_path(self) -> str:
         return f"{self.root}/epoch={self._epoch()}/postings"
 
+    # Multi-read operations MUST resolve the epoch ONCE and read every table
+    # from it — resolving per-read would let a concurrent create() commit in
+    # between, pairing one epoch's quantizer with another's assignments (the
+    # exact torn state the epoch commit exists to prevent).
+    def _centroids_at(self, epoch: int) -> np.ndarray:
+        rows = (self.spark.read
+                .parquet(f"{self.root}/epoch={epoch}/centroids")
+                .orderBy("list_id").collect())
+        return np.stack([np.asarray(r["centroid"], dtype=np.float64)
+                         for r in rows])
+
+    def _postings_at(self, epoch: int) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/epoch={epoch}/postings")
+
     # ------------------------------------------------------------- lifecycle
     def create(self, emb: DataFrame) -> None:
         """Train the quantizer on ``emb`` and build both tables into a NEW
@@ -120,8 +134,9 @@ class IvfIndexStore:
         Returns the number of appended rows. The quantizer is not retrained
         — centroid drift surfaces in :meth:`stats`, not in silent reshuffles.
         """
-        cents = self.centroids()
-        postings_path = self.postings_path  # resolve the epoch once
+        epoch = self._epoch()  # pin: quantizer + postings from ONE epoch
+        cents = self._centroids_at(epoch)
+        postings_path = f"{self.root}/epoch={epoch}/postings"
         fresh = (self._assigned(new_emb, cents)
                  .join(self.spark.read.parquet(postings_path)
                        .select(self.id_col), self.id_col, "left_anti")
@@ -140,9 +155,19 @@ class IvfIndexStore:
         filter, so unprobed lists are never read off disk — the IVF saving
         realized at the storage layer, not just in compute. Scoring is the
         probe-mask GEMM of ivf_topk_batch. Output:
-        (query_id, vec_id, score, rank), rank 1..k per query."""
-        Q = np.stack([np.asarray(q, dtype=np.float64) for q in query_vecs])
-        cents = self.centroids()
+        (query_id, vec_id, score, rank), rank 1..k per query. query_id is
+        the POSITION of the query in ``query_vecs`` (0..M-1); callers with
+        their own query ids keep the mapping (the CLI does)."""
+        epoch = self._epoch()  # pin: quantizer + postings from ONE epoch
+        vecs = [np.asarray(q, dtype=np.float64) for q in query_vecs]
+        id_t = (self._postings_at(epoch).schema[self.id_col]
+                .dataType.simpleString())
+        if not vecs:
+            return self.spark.createDataFrame(
+                [], f"query_id int, {self.id_col} {id_t}, score double, "
+                    "rank int")
+        Q = np.stack(vecs)
+        cents = self._centroids_at(epoch)
         cn = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True),
                              1e-12, None)
         qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
@@ -168,8 +193,7 @@ class IvfIndexStore:
                     "score": s[rows, qs],
                 })
 
-        id_t = self._postings().schema[self.id_col].dataType.simpleString()
-        cands = (self._postings()
+        cands = (self._postings_at(epoch)
                  .where(F.col("list_id").isin(probe_lists))  # partition prune
                  .select(self.id_col, self.vec_col, "list_id")
                  .mapInPandas(score, f"query_id int, {self.id_col} {id_t}, "
@@ -181,10 +205,7 @@ class IvfIndexStore:
 
     # ----------------------------------------------------------- observation
     def centroids(self) -> np.ndarray:
-        rows = (self.spark.read.parquet(self.centroids_path)
-                .orderBy("list_id").collect())
-        return np.stack([np.asarray(r["centroid"], dtype=np.float64)
-                         for r in rows])
+        return self._centroids_at(self._epoch())
 
     def stats(self) -> dict:
         """List-size profile — the skew observability that tells an operator

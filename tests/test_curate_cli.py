@@ -149,14 +149,18 @@ def test_cli_ann_build_grow_query(spark, tmp_path, capsys):
     assert g2["appended"] == 0  # replayed grow is a no-op
 
     queries = str(tmp_path / "queries.parquet")
-    emb.where("vec_id < 3").write.parquet(queries)
+    # deliberately NOT 0..M-1: the output must carry the REAL query ids
+    # (query_vec_id), not the batch position — ids 10/21/32 would silently
+    # mislabel under positional ids since 0/1/2 also exist in the corpus
+    emb.where("vec_id in (10, 21, 32)").write.parquet(queries)
     out = str(tmp_path / "topk")
     s3 = _run(capsys, ["ann-query", "--index", idx, "--queries", queries,
                        "--output", out, "--k", "3", "--nprobe", "8"])
     assert s3["rows"] == 9
     top = spark.read.parquet(out)
-    rank1 = {r["query_id"]: r["vec_id"] for r in top.where("rank = 1").collect()}
-    assert rank1 == {0: 0, 1: 1, 2: 2}  # full probe: self is its own nearest
+    rank1 = {r["query_vec_id"]: r["vec_id"]
+             for r in top.where("rank = 1").collect()}
+    assert rank1 == {10: 10, 21: 21, 32: 32}  # full probe: self is nearest
 
 
 def test_cli_rejects_rate_conflicts(tmp_path, capsys):

@@ -140,6 +140,25 @@ def test_pii_credit_card_never_leaks_phone_tail(spark):
     assert t == "pay [CREDIT_CARD] now"
 
 
+def test_pii_email_redacts_before_substring_classes(spark):
+    """Redaction order: email runs FIRST because phone_e164/ssn/ipv4 can all
+    match INSIDE an address — redacting '+20260818' out of a plus-addressed
+    email first would break the email match and leak 'john' + 'gmail.com'."""
+    df = spark.createDataFrame(
+        [(1, "mail john+20260818@gmail.com today"),
+         (2, "or 555-12-3456@corp.example please"),
+         (3, "log bounce from bot@10.2.3.44.net ok")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in pii_redact(df).collect()}
+    assert out[1] == "mail [EMAIL] today"
+    assert out[2] == "or [EMAIL] please"
+    assert out[3] == "log bounce from [EMAIL] ok"
+    for t in out.values():
+        for leak in ("john", "gmail", "20260818", "555-12", "corp",
+                     "10.2.3.44"):
+            assert leak not in t
+
+
 INTL_PII_TEXT = ("wire to DE89370400440532013000, call +442071838750, "
                  "node at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 done")
 

@@ -139,3 +139,40 @@ def test_stats_profile_sums_to_corpus(spark, emb, tmp_path):
     assert s["n_vectors"] == emb.count()
     assert s["n_lists"] <= 8 and s["max_list"] >= 1
     assert 0.0 < s["max_list_frac"] <= 1.0
+
+
+def test_query_and_increment_pin_epoch_once(spark, emb, tmp_path):
+    """Torn-read guard: a multi-read operation must resolve the epoch ONCE
+    and read quantizer + postings from it — per-read resolution would let a
+    concurrent create() commit in between and pair one epoch's quantizer
+    with another's assignments (the silent recall hole the epoch commit
+    exists to prevent)."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf6"), n_centroids=8)
+    store.create(emb.where("vec_id % 2 = 0"))
+
+    calls = []
+    orig = store._epoch
+
+    def counting():
+        calls.append(1)
+        return orig()
+
+    store._epoch = counting
+    q = [emb.where("vec_id = 0").first()["embedding"]]
+    store.query(q, k=2, nprobe=8).collect()
+    assert len(calls) == 1, "query() must resolve the epoch exactly once"
+
+    calls.clear()
+    store.increment(emb.where("vec_id % 2 = 1"))
+    assert len(calls) == 1, "increment() must resolve the epoch exactly once"
+
+
+def test_query_empty_batch_returns_empty_frame(spark, emb, tmp_path):
+    """An empty query batch (upstream filter matched nothing) returns an
+    empty, correctly-typed frame instead of crashing in np.stack."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf7"), n_centroids=8)
+    store.create(emb)
+    got = store.query([], k=3, nprobe=2)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == \
+        ["query_id", "vec_id", "score", "rank"]
