@@ -234,15 +234,12 @@ def main(argv: list[str] | None = None) -> int:
                               id_col=args.id_col, vec_col=args.vec_col)
         qdf = TableIO(spark, args.queries).read()
         qrows = qdf.orderBy(args.id_col).collect()  # query batches are small
-        out = store.query([r[args.vec_col] for r in qrows],
-                          k=args.k, nprobe=args.nprobe)
-        # store.query ids results by batch POSITION; map back to the
-        # caller's real query ids so the output joins against --queries
-        qid_t = qdf.schema[args.id_col].dataType.simpleString()
-        id_map = spark.createDataFrame(
-            [(i, r[args.id_col]) for i, r in enumerate(qrows)],
-            f"query_id int, query_{args.id_col} {qid_t}")
-        out = out.join(F.broadcast(id_map), "query_id").drop("query_id")
+        # ids= labels results with the REAL query ids in the scoring pass —
+        # positional query_ids would silently collide with corpus ids
+        out = (store.query([r[args.vec_col] for r in qrows],
+                           k=args.k, nprobe=args.nprobe,
+                           ids=[r[args.id_col] for r in qrows])
+               .withColumnRenamed("query_id", f"query_{args.id_col}"))
         out.write.mode("overwrite").parquet(args.output)
         summary = {"cmd": "ann-query", "n_queries": len(qrows), "k": args.k,
                    "nprobe": args.nprobe,

@@ -168,8 +168,10 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
 # RE2-compatible (no lookaround/backrefs) so the same pattern runs in Spark
 # (java.util.regex) and DuckDB (RE2) — oracle parity is tested. Counting is
 # per-class and independent; a token matching two classes counts in both
-# (documented, and redaction order below resolves replacement overlap
-# deterministically: longest/most-specific first).
+# (documented). Redaction order below resolves replacement overlap
+# deterministically: a class runs BEFORE any class that can partially
+# consume its matches (partial consumption breaks the later match and
+# leaks its remainder) — see the per-entry notes.
 #
 # SCOPE: this dict is a demo POLICY, not a compliance catalog — real
 # deployments pass their own ``patterns=`` (the operators are
@@ -183,12 +185,20 @@ def decontaminate(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
 # arbitrary per-country digit runs) are explicitly out of scope for a
 # pattern policy and belong to an NER pass.
 PII_PATTERNS: dict[str, str] = {
-    # email FIRST: its local part admits '+digits', dots, and dashes, so
-    # phone_e164 / ssn / ipv4 can all match INSIDE an address (e.g. the
-    # plus-addressed 'john+20260818@gmail.com'); redacting a sub-span first
-    # would break the email match and leak the address remainder.
-    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # credit_card before email: card matches are the only ones that can
+    # contain a SPACE, which email's local-part class lacks — on
+    # 'pay 4111 1111 1111 1111@corp.com' an email-first pass matches only
+    # '1111@corp.com' and leaks the other 12 PAN digits. Running the card
+    # first redacts the full PAN; the residue '[CREDIT_CARD]@corp.com' at
+    # worst leaks a domain, never digits (and a dash-separated card inside
+    # a real address redacts as the card too — '[' stops the email match —
+    # trading an [EMAIL] label for the stronger PAN guarantee).
     "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    # email before the digit-run classes: its local part admits '+digits',
+    # dots, and dashes, so phone_e164 / ssn / ipv4 can all match INSIDE an
+    # address (e.g. the plus-addressed 'john+20260818@gmail.com'); redacting
+    # a sub-span first would break the email match and leak the remainder.
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
@@ -225,11 +235,14 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
                token: str = "[{cls}]") -> DataFrame:
     """Replace every PII match with a class token (``[EMAIL]`` by default),
     preserving all other columns. Replacement order is the dict's iteration
-    order — the default redacts superstring shapes before their sub-spans:
-    email before phone_e164/ssn/ipv4 (all of which can match inside an
-    address's local part or host, e.g. plus-addressed 'a+123456789@x.com'),
-    and credit card before phone, so a 16-digit card never leaks a
-    phone-shaped tail. Row-local, zero exchanges."""
+    order — the default runs each class before any class that could
+    partially consume its matches: credit card first (the one class whose
+    matches contain spaces, which email can bite the '1111@host' tail off,
+    leaking 12 PAN digits), then email before phone_e164/ssn/ipv4 (all of
+    which can match inside an address's local part or host, e.g.
+    plus-addressed 'a+123456789@x.com'), and card before phone, so a
+    16-digit card never leaks a phone-shaped tail. Row-local, zero
+    exchanges."""
     pats = patterns or PII_PATTERNS
     col = F.col(text_col)
     for cls, p in pats.items():

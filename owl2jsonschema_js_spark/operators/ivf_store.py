@@ -84,10 +84,6 @@ class IvfIndexStore:
         return int(row["e"])
 
     @property
-    def centroids_path(self) -> str:
-        return f"{self.root}/epoch={self._epoch()}/centroids"
-
-    @property
     def postings_path(self) -> str:
         return f"{self.root}/epoch={self._epoch()}/postings"
 
@@ -136,36 +132,56 @@ class IvfIndexStore:
         """
         epoch = self._epoch()  # pin: quantizer + postings from ONE epoch
         cents = self._centroids_at(epoch)
-        postings_path = f"{self.root}/epoch={epoch}/postings"
         fresh = (self._assigned(new_emb, cents)
-                 .join(self.spark.read.parquet(postings_path)
-                       .select(self.id_col), self.id_col, "left_anti")
+                 .join(self._postings_at(epoch).select(self.id_col),
+                       self.id_col, "left_anti")
                  .localCheckpoint(eager=True))  # pin: counted AND written
         n = fresh.count()
         if n:
             fresh.write.mode("append").partitionBy("list_id") \
-                .parquet(postings_path)
+                .parquet(f"{self.root}/epoch={epoch}/postings")
         return n
 
     # ----------------------------------------------------------------- query
-    def query(self, query_vecs, k: int = 5, nprobe: int = 4) -> DataFrame:
+    def query(self, query_vecs, k: int = 5, nprobe: int = 4,
+              ids=None) -> DataFrame:
         """Batched top-k over the stored postings: M queries in ONE pruned
         scan. Probe lists resolve on the driver against the (tiny) centroid
         table; the postings scan carries ``list_id IN (...)`` as a PARTITION
         filter, so unprobed lists are never read off disk — the IVF saving
         realized at the storage layer, not just in compute. Scoring is the
         probe-mask GEMM of ivf_topk_batch. Output:
-        (query_id, vec_id, score, rank), rank 1..k per query. query_id is
-        the POSITION of the query in ``query_vecs`` (0..M-1); callers with
-        their own query ids keep the mapping (the CLI does)."""
+        (query_id, vec_id, score, rank), rank 1..k per query.
+
+        ``ids`` labels the results with the CALLER's query ids (one per
+        vector, emitted directly from the scoring pass — int or string).
+        Without it, query_id is the POSITION in ``query_vecs`` (0..M-1) —
+        positions silently collide with real corpus ids if a caller joins
+        them against its own tables, so pass ids whenever you have them
+        (the CLI does). With ``ids=[]``/no queries the empty frame types
+        query_id from the ids dtype (int when positional or unknowable)."""
         epoch = self._epoch()  # pin: quantizer + postings from ONE epoch
         vecs = [np.asarray(q, dtype=np.float64) for q in query_vecs]
-        id_t = (self._postings_at(epoch).schema[self.id_col]
-                .dataType.simpleString())
+        ids_arr = None
+        qid_t = "int"
+        if ids is not None:
+            ids = list(ids)
+            if len(ids) != len(vecs):
+                raise ValueError(
+                    f"ids/query_vecs length mismatch: {len(ids)} ids for "
+                    f"{len(vecs)} vectors")
+            if ids:
+                # spark's own inference types the query_id column (bigint
+                # for python ints, string for strings) — one authority for
+                # both the empty-return and the mapInPandas schema
+                qid_t = (self.spark.createDataFrame([(x,) for x in ids])
+                         .schema[0].dataType.simpleString())
+                ids_arr = np.asarray(ids, dtype=object)
+        postings = self._postings_at(epoch)  # one reader: dtype + scan below
+        id_t = postings.schema[self.id_col].dataType.simpleString()
+        out_schema = f"query_id {qid_t}, {self.id_col} {id_t}, score double"
         if not vecs:
-            return self.spark.createDataFrame(
-                [], f"query_id int, {self.id_col} {id_t}, score double, "
-                    "rank int")
+            return self.spark.createDataFrame([], out_schema + ", rank int")
         Q = np.stack(vecs)
         cents = self._centroids_at(epoch)
         cn = cents / np.clip(np.linalg.norm(cents, axis=1, keepdims=True),
@@ -179,6 +195,7 @@ class IvfIndexStore:
             mask[lists, j] = True
 
         id_col, vec_col, q_b, mask_b = self.id_col, self.vec_col, Q, mask
+        ids_b = ids_arr
 
         def score(batches):
             for pdf in batches:
@@ -188,16 +205,16 @@ class IvfIndexStore:
                 s = m @ q_b.T                                    # (batch, M)
                 rows, qs = np.nonzero(mask_b[pdf["list_id"].to_numpy()])
                 yield pd.DataFrame({
-                    "query_id": qs.astype("int32"),
+                    "query_id": (qs.astype("int32") if ids_b is None
+                                 else ids_b[qs]),
                     id_col: pdf[id_col].to_numpy()[rows],
                     "score": s[rows, qs],
                 })
 
-        cands = (self._postings_at(epoch)
+        cands = (postings
                  .where(F.col("list_id").isin(probe_lists))  # partition prune
                  .select(self.id_col, self.vec_col, "list_id")
-                 .mapInPandas(score, f"query_id int, {self.id_col} {id_t}, "
-                                     "score double"))
+                 .mapInPandas(score, out_schema))
         w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                    F.col(self.id_col))
         return (cands.withColumn("rank", F.row_number().over(w))

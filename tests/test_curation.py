@@ -159,6 +159,23 @@ def test_pii_email_redacts_before_substring_classes(spark):
             assert leak not in t
 
 
+def test_pii_space_card_email_tail_never_leaks_pan(spark):
+    """Redaction order regression: a SPACE-separated card butting against an
+    @domain is the one shape email can PARTIALLY consume (space is not in
+    the local-part class, so email-first matches only '1111@corp.com' and
+    leaks the other 12 PAN digits). Card-first redacts the full PAN; the
+    residue at worst names a domain, never digits."""
+    df = spark.createDataFrame(
+        [(1, "pay 4111 1111 1111 1111@corp.com now"),
+         (2, "card 4111 1111 1111 1111 on file")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in pii_redact(df).collect()}
+    assert out[2] == "card [CREDIT_CARD] on file"
+    assert out[1] == "pay [CREDIT_CARD]@corp.com now"
+    for t in out.values():
+        assert "4111" not in t and "1111" not in t
+
+
 INTL_PII_TEXT = ("wire to DE89370400440532013000, call +442071838750, "
                  "node at 2001:0db8:85a3:0000:0000:8a2e:0370:7334 done")
 

@@ -176,3 +176,41 @@ def test_query_empty_batch_returns_empty_frame(spark, emb, tmp_path):
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == \
         ["query_id", "vec_id", "score", "rank"]
+
+
+def test_query_with_caller_ids_labels_results(spark, emb, tmp_path):
+    """ids= labels results with the CALLER's query ids straight from the
+    scoring pass — the mechanism-level fix for the positional-id footgun
+    (positions 0..M-1 silently collide with real corpus ids). Same ranked
+    lists as the positional call, relabeled; int and string ids both type
+    the query_id column via Spark's own inference."""
+    store = IvfIndexStore(spark, str(tmp_path / "ivf8"), n_centroids=8)
+    store.create(emb)
+    queries = [r["embedding"] for r in
+               emb.where("vec_id in (0, 3)").orderBy("vec_id").collect()]
+
+    pos = store.query(queries, k=4, nprobe=8)
+    by_pos = {}
+    for r in pos.orderBy("query_id", "rank").collect():
+        by_pos.setdefault(r["query_id"], []).append(r["vec_id"])
+
+    got_int = store.query(queries, k=4, nprobe=8, ids=[10, 21])
+    assert got_int.schema["query_id"].dataType.simpleString() == "bigint"
+    by_int = {}
+    for r in got_int.orderBy("query_id", "rank").collect():
+        by_int.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_int == {10: by_pos[0], 21: by_pos[1]}
+
+    got_str = store.query(queries, k=4, nprobe=8, ids=["qa", "qb"])
+    assert got_str.schema["query_id"].dataType.simpleString() == "string"
+    by_str = {}
+    for r in got_str.orderBy("query_id", "rank").collect():
+        by_str.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_str == {"qa": by_pos[0], "qb": by_pos[1]}
+
+    with pytest.raises(ValueError, match="length mismatch"):
+        store.query(queries, k=2, ids=[10])
+    empty = store.query([], k=2, ids=[])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == \
+        ["query_id", "vec_id", "score", "rank"]
