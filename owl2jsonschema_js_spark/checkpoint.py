@@ -17,6 +17,7 @@ import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from owl2jsonschema_js_spark.compile import RulePlan
 from owl2jsonschema_js_spark.runner import ValidationRunner
@@ -30,6 +31,14 @@ class Manifest:
 
     @staticmethod
     def key(snapshot_id: str, part: str, version: str) -> str:
+        # completed_parts() re-parses with split('|', 2): a '|' inside the
+        # (caller-supplied) snapshot id or a partition value would shift the
+        # parse and mis-attribute done-ness across snapshots — refuse it
+        # rather than silently collide
+        if "|" in str(snapshot_id) or "|" in str(part):
+            raise ValueError(
+                f"manifest key components must not contain '|': "
+                f"snapshot_id={snapshot_id!r}, part={part!r}")
         return f"{snapshot_id}|{part}|{version}"
 
     @classmethod
@@ -76,7 +85,17 @@ class Manifest:
 
 
 class ResumableValidator:
-    """Orchestrates validate-with-resume over a partitioned table."""
+    """Orchestrates validate-with-resume over a partitioned table.
+
+    PARTITION-ALIGNMENT CONTRACT: resume skips completed partitions, so the
+    partition column must be GROUP-ALIGNED — every conversation (group key)
+    lives in exactly one partition. The derived default (hash of conv_id,
+    ValidationRunner._with_partition) guarantees this by construction; a
+    storage-provided partition spec must partition by conversation or
+    coarser. A spec that splits conversations (e.g. by event day) would make
+    a resumed run see only the pending slice of a straddling conversation —
+    truncated cardinality/contiguity aggregates and missed cross-partition
+    duplicates, verdicts diverging from an uninterrupted run's."""
 
     def __init__(self, plan: RulePlan, manifest: Manifest, snapshot_id: str,
                  part_col: str = "part", n_parts: int = 16):
@@ -104,7 +123,12 @@ class ResumableValidator:
         done = self.manifest.completed_parts(self.snapshot_id, version)
         pending = df
         if done:
-            pending = df.where(~df[self.part_col].cast("string").isin(*done))
+            # null-safe: isin() is NULL for NULL parts (three-valued logic),
+            # and a bare ~isin would silently DROP those rows from every
+            # resumed run — coalesce keeps them pending (conservative:
+            # re-validated each resume, never skipped)
+            pending = df.where(~F.coalesce(
+                df[self.part_col].cast("string").isin(*done), F.lit(False)))
 
         result = self.runner.run(pending, catalog=catalog)
         # C20/C21: schema metadata (title/translations/links) rides the
@@ -158,8 +182,14 @@ class ResumableValidator:
             }
 
         sub, diff = delta_plan(old_plan, self.plan)
-        covered = df.where(df[self.part_col].cast("string").isin(*old_done)) \
-            if old_done else df.where("1=0")
+        # null-safe part filters: a NULL part makes isin() NULL, so a bare
+        # isin/~isin pair would route NULL-part rows into NEITHER covered nor
+        # uncovered — never validated under the new version, silently.
+        # Coalesce(False) sends them to uncovered (full new-version run).
+        in_done = F.coalesce(
+            df[self.part_col].cast("string").isin(*old_done), F.lit(False)) \
+            if old_done else F.lit(False)
+        covered = df.where(in_done)
         if diff.is_noop or not (sub.row_rules or diff.table_changed):
             delta_verdicts = {p: {"n_rows": v["n_rows"], "rules": {}}
                               for p, v in old_verdicts.items()}
@@ -173,8 +203,7 @@ class ResumableValidator:
         # partitions never validated under the old version fall back to a full
         # new-version run (empty set -> run() over an empty frame, a no-op;
         # partition pruning keeps the filtered scan cheap either way)
-        uncovered = df.where(~df[self.part_col].cast("string").isin(*old_done)) \
-            if old_done else df
+        uncovered = df.where(~in_done)
         merged.update(self.run(uncovered, catalog=catalog))
 
         self.manifest.meta.setdefault("specs", {})[new_version] = self.plan.spec.meta()
@@ -211,9 +240,18 @@ def parquet_snapshot_id(path: str) -> str:
             "(e.g. the Iceberg snapshot) for remote tables")
     h = hashlib.sha256()
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+        # RECURSIVE walk: partitioned layouts nest files under part=... dirs,
+        # and a directory entry's size/mtime does not change when a child
+        # FILE is overwritten in place — a top-level listing would hash the
+        # same id over changed data and resume would serve stale verdicts.
+        # Hash every file's relative path + size + mtime in sorted order.
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            for name in sorted(filenames):
+                full = os.path.join(dirpath, name)
+                st = os.stat(full)
+                rel = os.path.relpath(full, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     elif os.path.exists(path):
         st = os.stat(path)
         h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())

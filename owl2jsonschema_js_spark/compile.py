@@ -143,7 +143,13 @@ def _type_pred(json_type: Any, col: Column, dtype: T.DataType | None) -> Column:
     if json_type == "integer":
         if isinstance(dtype, _INTEGRAL_TYPES):
             return F.lit(True)
-        if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            # NOT floor()-equality: floor(double) returns BIGINT, so a
+            # mathematically integral value beyond int64 (1e19) would clamp
+            # and be falsely flagged; x % 1 == 0 stays in double space
+            # (NaN/Infinity yield NaN -> NULL -> flagged via the null guard)
+            return col % F.lit(1.0) == F.lit(0.0)
+        if isinstance(dtype, T.DecimalType):
             return col == F.floor(col).cast(dtype)
         if isinstance(dtype, T.StringType):
             return col.try_cast("bigint").isNotNull()
@@ -379,6 +385,23 @@ def compile_spec(spec: ConstraintSpec, df_schema: T.StructType) -> RulePlan:
         subs = val if isinstance(val, list) else [val]
         in_doc = [s for s in subs if not (isinstance(s, dict) and isinstance(s.get("$ref"), str)
                                           and not s["$ref"].startswith("#"))]
+        dropped = [s["$ref"] for s in subs if s not in in_doc]
+        if dropped:
+            # external refs are resolvable only pre-parse (merge_ancestors);
+            # at compile time dropping one is sound ONLY for allOf (a subset
+            # conjunction under-validates but never mis-validates). For
+            # anyOf/oneOf/not a truncated member list flips semantics —
+            # anyOf turns stricter (false violations), oneOf's exactly-one
+            # count is wrong both ways — so those rules are skipped whole,
+            # and every drop is recorded instead of silent.
+            plan.schema_issues.append(
+                f"doc-level {comb} drops unresolved external $refs "
+                f"{dropped!r} (merge_ancestors resolves these pre-parse"
+                + ("" if comb == "allOf" else
+                   "; rule skipped — a truncated member list would change "
+                   f"{comb} semantics") + ")")
+            if comb != "allOf":
+                continue
         if not in_doc:
             continue
         preds = [_compile_row_subschema(s, spec, fields) for s in in_doc]
@@ -412,12 +435,20 @@ def compile_spec(spec: ConstraintSpec, df_schema: T.StructType) -> RulePlan:
     return plan
 
 
-def _compile_row_subschema(schema: dict, spec: ConstraintSpec, fields: dict[str, T.DataType]) -> Column:
+def _compile_row_subschema(schema: dict, spec: ConstraintSpec,
+                           fields: dict[str, T.DataType],
+                           depth: int = 0) -> Column:
     """A row-scope subschema (inside doc-level combinators): its `properties` /
-    `required` apply to the row's columns; everything else is ignored at row scope."""
+    `required` apply to the row's columns; everything else is ignored at row
+    scope. Depth-capped like compile_schema: a self-recursive '#' ref (the
+    shape the reference emits, lib/index.js:866-878) bottoms out vacuously
+    true instead of recursing forever at compile time."""
+    if depth > _MAX_REF_DEPTH:
+        return F.lit(True)
     preds: list[Column] = []
     if "$ref" in schema:
-        preds.append(_compile_row_subschema(spec.resolve_ref(schema["$ref"]), spec, fields))
+        preds.append(_compile_row_subschema(
+            spec.resolve_ref(schema["$ref"]), spec, fields, depth + 1))
     for key in schema.get("required", ()):
         if key in fields:
             preds.append(F.col(key).isNotNull())
@@ -431,7 +462,8 @@ def _compile_row_subschema(schema: dict, spec: ConstraintSpec, fields: dict[str,
         if comb not in schema:
             continue
         subs = schema[comb] if isinstance(schema[comb], list) else [schema[comb]]
-        sub_preds = [_compile_row_subschema(s, spec, fields) for s in subs]
+        sub_preds = [_compile_row_subschema(s, spec, fields, depth + 1)
+                     for s in subs]
         if comb == "allOf":
             preds.append(_and_all(sub_preds))
         elif comb == "anyOf":

@@ -157,6 +157,17 @@ class ValidationRunner:
         per run, or simply hand a fresh DataFrame per batch."""
         if uniqueness not in ("auto", "full", "gated"):
             raise ValueError(f"unknown uniqueness strategy {uniqueness!r}")
+        # uniqueness always evaluates over key_cols (the violation-row shape
+        # is keyed on them) — a spec declaring uniqueItems on any OTHER column
+        # set would be silently validated against the wrong key, so mismatches
+        # fail loudly here instead (align key_cols= with the spec's key)
+        uk = tuple(plan.table.unique_keys or ())
+        if uk and set(uk) != set(key_cols):
+            raise ValueError(
+                f"spec declares uniqueItems on {uk!r} but the runner's "
+                f"key_cols are {tuple(key_cols)!r}; uniqueness is evaluated "
+                "over key_cols — pass key_cols matching the declared key "
+                "(silently checking a different key would be a wrong answer)")
         self.plan = plan
         self.part_col = part_col
         self.key_cols = key_cols
@@ -302,8 +313,14 @@ class ValidationRunner:
         k0, _ = self.key_cols
         gk = t.group_key or t.contiguous or k0
         flagged = (grouped.where(F.col("__n") != F.col("__nd"))
-                   .select(F.col(gk).alias(k0)))
-        sub = df.select(*self.key_cols, self.part_col).join(flagged, k0)
+                   .select(F.col(gk).alias("__gk")))
+        # null-SAFE join: a NULL conv_id group with duplicate turn_idx IS
+        # flagged by the agg (count != countDistinct groups NULLs together),
+        # but an equality join would drop it (NULL == NULL is false in SQL),
+        # silently diverging from the full strategy's groupBy semantics
+        sub = (df.select(*self.key_cols, self.part_col)
+               .join(flagged, F.col(k0).eqNullSafe(F.col("__gk")))
+               .drop("__gk"))
         return self._uniqueness_violations(sub)
 
     def _group_violations(self, df: DataFrame, grouped: DataFrame | None = None) -> DataFrame:

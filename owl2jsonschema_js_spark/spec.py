@@ -81,16 +81,27 @@ class ConstraintSpec:
             raise ValueError(f"top-level constraint doc must be type:'object', got {t!r}")
 
         tc = doc.get("x-table-constraints", {}) or {}
-        mi, ma = tc.get("minItems"), tc.get("maxItems")
-        group_key = None
-        min_items = max_items = None
-        if isinstance(mi, dict):
-            group_key, min_items = mi.get("per"), int(mi["value"])
-        if isinstance(ma, dict):
-            gk2 = ma.get("per")
-            if group_key is not None and gk2 != group_key:
-                raise ValueError("minItems/maxItems must share the same 'per' group key")
-            group_key, max_items = gk2, int(ma["value"])
+
+        def _card(v: Any, name: str) -> tuple[str | None, int | None]:
+            """(per, value) from either the {'per': col, 'value': n} shape or
+            a bare number (per=None -> the runner's default group key). Any
+            other type raises — a silently-dropped bound is a constraint the
+            author believes is active but never runs."""
+            if v is None:
+                return None, None
+            if isinstance(v, dict):
+                return v.get("per"), int(v["value"])
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return None, int(v)
+            raise ValueError(
+                f"x-table-constraints.{name} must be a number or "
+                f"{{'per': col, 'value': n}}, got {type(v).__name__}")
+
+        mi_per, min_items = _card(tc.get("minItems"), "minItems")
+        ma_per, max_items = _card(tc.get("maxItems"), "maxItems")
+        if min_items is not None and max_items is not None and mi_per != ma_per:
+            raise ValueError("minItems/maxItems must share the same 'per' group key")
+        group_key = mi_per if min_items is not None else ma_per
 
         table = TableConstraints(
             unique_keys=tuple(tc.get("uniqueItems", ()) or ()),
@@ -231,6 +242,10 @@ class ConstraintSpec:
             disjoint += d.get("x-disjoint") or []
             dtc = d.get("x-table-constraints") or {}
             for k, v in dtc.items():
+                if k in ("minItems", "maxItems") and not isinstance(v, dict):
+                    # bare-number shorthand (parse() accepts it) — normalize
+                    # to the dict shape the tightest-bound merge below reads
+                    v = {"per": None, "value": v}
                 if k in ("minItems", "maxItems") and k in tc:
                     # conjunction = tightest bound, but only over the SAME
                     # group key — silently keeping one of two different-'per'

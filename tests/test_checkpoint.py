@@ -86,3 +86,58 @@ def test_parquet_snapshot_id_refuses_remote_uris(tmp_path):
     p = tmp_path / "x.parquet"
     p.write_bytes(b"123")
     assert parquet_snapshot_id(f"file://{p}") == parquet_snapshot_id(str(p))
+
+
+def test_manifest_key_refuses_pipe_components():
+    """completed_parts re-parses keys with split('|', 2): a '|' inside a
+    caller-supplied snapshot id or partition value would shift the parse and
+    mis-attribute done-ness across snapshots — refused, never collided."""
+    m = Manifest("unused.json")
+    with pytest.raises(ValueError, match=r"\|"):
+        m.record("snap|shot", "0", "v1", verdict={})
+    with pytest.raises(ValueError, match=r"\|"):
+        Manifest.key("s", "part|x", "v1")
+
+
+def test_parquet_snapshot_id_sees_nested_file_changes(tmp_path):
+    """Partitioned layouts nest files under part=... dirs, and overwriting a
+    child file in place does not touch the parent directory entry — the
+    snapshot id must hash the tree recursively or resume serves stale
+    verdicts over changed data."""
+    import os
+    import time
+
+    root = tmp_path / "table"
+    part = root / "part=0"
+    part.mkdir(parents=True)
+    f = part / "data.parquet"
+    f.write_bytes(b"aaaa")
+    before = parquet_snapshot_id(str(root))
+    assert parquet_snapshot_id(str(root)) == before  # deterministic
+    time.sleep(0.01)  # ensure mtime_ns moves
+    f.write_bytes(b"bbbb")  # same name, same size, nested one level down
+    assert parquet_snapshot_id(str(root)) != before
+
+
+def test_resume_keeps_null_partition_rows(spark, tmp_path):
+    """Three-valued logic trap: isin() is NULL for NULL parts, so a bare
+    ~isin resume filter would silently DROP NULL-part rows from every
+    resumed run. They must stay pending (conservatively re-validated)."""
+    doc = {"type": "object",
+           "properties": {"role": {"enum": ["user", "assistant"]}}}
+    plan = compile_spec(ConstraintSpec.parse(doc), spark.createDataFrame(
+        [("c", 0, "user", "p0")],
+        "conv_id string, turn_idx int, role string, part string").schema)
+    rows = [("c1", 0, "user", "p0"), ("c2", 0, "narrator", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, part string")
+
+    m = Manifest(str(tmp_path / "m.json"))
+    rv = ResumableValidator(plan, m, "snapN")
+    verdicts = rv.run(df)  # first pass sees both parts (p0 and the NULL one)
+    assert set(verdicts) == {"p0", "None"}
+    # resume with p0 done: the NULL-part row must still be (re)validated,
+    # and its violation still detected — not silently skipped
+    verdicts2 = ResumableValidator(plan, Manifest.load(m.path), "snapN").run(df)
+    assert set(verdicts2) == {"None"}
+    assert verdicts2["None"]["rules"] == {"role.enum": 1}

@@ -150,3 +150,77 @@ def test_schema_issue_reported_for_missing_column(spark):
     plan = compile_spec(spec, df.schema)
     assert any("zzz" in i for i in plan.schema_issues)
     assert not plan.row_rules
+
+
+def test_integer_type_on_double_beyond_int64(spark):  # C1 edge
+    """floor(double) returns BIGINT, so a mathematically integral double
+    beyond int64 (1e19) would clamp and be falsely flagged under
+    floor-equality; the modulo form keeps it in double space. NaN and
+    Infinity are NOT integers (NULL predicate -> detected by coalesce)."""
+    vals = [1e19, 2.0, 2.5, -3.0, float("nan"), float("inf")]
+    got = _eval(spark, {"type": "integer"}, vals, "DoubleType")
+    assert got == [True, True, False, True, False, False]
+
+
+def test_self_recursive_ref_in_doc_combinator_compiles(spark):
+    """A self-recursive '#' ref inside a doc-level combinator (the shape the
+    reference emits for possibleRef) must depth-cap like compile_schema does,
+    not RecursionError at compile time."""
+    doc = {"type": "object",
+           "properties": {"role": {"enum": ["user", "assistant"]}},
+           "allOf": [{"$ref": "#"}]}
+    df = spark.createDataFrame([("user",), ("narrator",)], "role string")
+    plan = compile_spec(ConstraintSpec.parse(doc), df.schema)
+    rule = next(r for r in plan.row_rules if r.rule_id == "$.allOf")
+    got = [bool(r[0]) for r in df.select(rule.ok).collect()]
+    assert got == [True, False]
+
+
+def test_doc_combinator_external_refs_not_silently_truncated(spark):
+    """External $refs are resolvable only pre-parse (merge_ancestors). At
+    compile time, dropping a member from anyOf/oneOf/not flips semantics
+    (anyOf turns stricter -> false violations), so those rules are skipped
+    whole and recorded in schema_issues; allOf keeps its in-doc members (a
+    subset conjunction under-validates but never mis-validates), also
+    recorded."""
+    df = spark.createDataFrame([("user",)], "role string")
+    any_doc = {"type": "object", "properties": {},
+               "anyOf": [{"$ref": "Other.json"},
+                         {"properties": {"role": {"enum": ["user"]}}}]}
+    plan = compile_spec(ConstraintSpec.parse(any_doc), df.schema)
+    assert not [r for r in plan.row_rules if r.rule_id == "$.anyOf"]
+    assert any("anyOf" in i and "Other.json" in i for i in plan.schema_issues)
+
+    not_doc = {"type": "object", "properties": {},
+               "not": {"$ref": "Other.json"}}
+    plan = compile_spec(ConstraintSpec.parse(not_doc), df.schema)
+    assert not [r for r in plan.row_rules if r.rule_id == "$.not"]
+    assert any("not" in i for i in plan.schema_issues)
+
+    all_doc = {"type": "object", "properties": {},
+               "allOf": [{"$ref": "Other.json"},
+                         {"properties": {"role": {"enum": ["user"]}}}]}
+    plan = compile_spec(ConstraintSpec.parse(all_doc), df.schema)
+    assert [r for r in plan.row_rules if r.rule_id == "$.allOf"]
+    assert any("allOf" in i for i in plan.schema_issues)
+
+
+def test_scalar_table_cardinality_accepted_and_junk_raises(spark):
+    """x-table-constraints.minItems/maxItems accept the bare-number shorthand
+    (per=None -> the runner's default group key); a silently-dropped bound
+    would be a constraint the author believes is active but never runs.
+    Non-numeric shapes raise."""
+    spec = ConstraintSpec.parse({
+        "type": "object", "properties": {},
+        "x-table-constraints": {"minItems": 2, "maxItems": 5}})
+    assert spec.table.min_items == 2 and spec.table.max_items == 5
+    assert spec.table.group_key is None
+    with pytest.raises(ValueError, match="minItems"):
+        ConstraintSpec.parse({"type": "object", "properties": {},
+                              "x-table-constraints": {"minItems": "two"}})
+    with pytest.raises(ValueError, match="per"):
+        ConstraintSpec.parse({
+            "type": "object", "properties": {},
+            "x-table-constraints": {
+                "minItems": 2,
+                "maxItems": {"per": "conv_id", "value": 5}}})

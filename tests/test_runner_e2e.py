@@ -230,3 +230,53 @@ def test_uniqueness_auto_consults_measured_profile(spark, fixture60):
     strat_none, v_none = run_with(None)
     assert strat_none == "gated"
     assert v_none == v_small
+
+
+def test_mismatched_unique_keys_raise(spark):
+    """A spec declaring uniqueItems on a different column set than the
+    runner's key_cols must fail LOUDLY — uniqueness always evaluates over
+    key_cols, so accepting the mismatch would silently validate the wrong
+    key (a false-negative trap)."""
+    import pytest
+
+    doc = {"type": "object", "properties": {},
+           "x-table-constraints": {"uniqueItems": ["msg_id"]}}
+    plan = compile_spec(ConstraintSpec.parse(doc), _SCHEMA_TYPES())
+    with pytest.raises(ValueError, match="uniqueItems"):
+        ValidationRunner(plan)
+    # aligned single declarations still construct (order-insensitive)
+    doc2 = {"type": "object", "properties": {},
+            "x-table-constraints": {"uniqueItems": ["turn_idx", "conv_id"]}}
+    ValidationRunner(compile_spec(ConstraintSpec.parse(doc2), _SCHEMA_TYPES()))
+
+
+def _SCHEMA_TYPES():
+    from pyspark.sql import types as T
+    return T.StructType([T.StructField("conv_id", T.StringType()),
+                         T.StructField("turn_idx", T.IntegerType())])
+
+
+def test_gated_uniqueness_matches_full_on_null_conv_id(spark):
+    """NULL-key parity between strategies: a duplicate (NULL, turn) key is
+    one group to the full strategy's groupBy, and the gated lane's join must
+    be null-SAFE to reach the same rows (a plain equality join drops them —
+    NULL == NULL is false in SQL — silently diverging from 'full')."""
+    doc = {"type": "object", "properties": {},
+           "x-table-constraints": {
+               "uniqueItems": ["conv_id", "turn_idx"],
+               "minItems": {"per": "conv_id", "value": 1}}}
+    rows = [(None, 5, "a"), (None, 5, "b"), ("c1", 0, "x"), ("c1", 0, "y"),
+            ("c2", 0, "z")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    plan = compile_spec(ConstraintSpec.parse(doc), df.schema)
+
+    def dups(strategy):
+        res = ValidationRunner(plan, n_parts=4, uniqueness=strategy).run(df)
+        out = sorted(((r["conv_id"], r["turn_idx"]) for r in
+                      res.violations.where("rule_id = 'table.unique'").collect()),
+                     key=lambda t: (t[0] is not None, t[0] or "", t[1]))
+        res.unpersist()
+        return out
+
+    full, gated = dups("full"), dups("gated")
+    assert full == gated == [(None, 5), (None, 5), ("c1", 0), ("c1", 0)]
