@@ -1273,7 +1273,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_jaccard_bigram (its exact-Jaccard pair predicate is literally what
     the graded minhash_lsh_dups/dedup_incremental verification computes) and
     dedup_exact (a 0-row trivial hash-agg whose shape corpus_profile's
-    aggregate already rides)."""
+    aggregate already rides). A second round-5 swap grades the remaining
+    oracle-able curation lanes: pii_scan (per-class regex PII rollup — the
+    policy surface round 5 broadened beyond US shapes) and mixture_sample
+    (deterministic stratified LCG sampling — the lane whose silent
+    non-numeric/negative-key wrong answer round 5 fixed; grading it pins the
+    fixed arithmetic against the SQL twin) in place of doclen_percentiles
+    (per-lang length percentiles — length stats ride the graded
+    corpus_profile/profile_stats rows and the calibrated-threshold pytest
+    grades exact-vs-DuckDB quantiles directly) and tpch_q6 (a scan+filter+agg
+    strictly contained in the graded tpch_q1's shape; its pushdown showcase
+    stays plan-gated in tests/test_plans.py)."""
     return {
         # -- constraint-keyword validation core (C1-C19)
         "val_enum_violations": q_val_enum_violations,
@@ -1309,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dedup / similarity / curation (training-data pipeline)
         "decontaminate": q_decontaminate,
         "pack_shards": q_pack_shards,
+        "pii_scan": q_pii_scan,
+        "mixture_sample": q_mixture_sample,
         "minhash_lsh_dups": q_minhash_lsh_dups,
         "simhash_dups": q_simhash_dups,
         "dedup_survivors": q_dedup_survivors,
@@ -1322,11 +1334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "corpus_profile": q_corpus_profile,
         "text_fingerprints": q_text_fingerprints,
-        "doclen_percentiles": q_doclen_percentiles,
         # -- general SQL surface (joins/aggs/windows/set-ops/json)
         "tpch_q1": q_tpch_q1,
         "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
         "window_topk_orders": q_window_topk_orders,
         "rollup_revenue": q_rollup_revenue,
         "set_ops_customers": q_set_ops_customers,
@@ -1369,14 +1379,22 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collapse via dedup_survivors — this entry exercises the composed
         # lane end-to-end (deterministic planted mirrors, pytest-verified)
         "semantic_dedup": q_semantic_dedup,
-        # curation lanes outside the 50-slot graded cap; each carries a
-        # DuckDB parity pytest in tests/test_curation.py instead of a
-        # registry row (decontaminate/pack_shards were promoted to the graded
-        # registry in round 5)
-        "pii_scan": q_pii_scan,
-        "mixture_sample": q_mixture_sample,
+        # span-level lanes outside the 50-slot graded cap; each carries an
+        # exact brute-force-oracle pytest (tests/test_substring.py) instead
+        # of a registry row — their span outputs need the O(n·m) Python
+        # oracle, not a one-shot SQL twin (decontaminate/pack_shards, then
+        # pii_scan/mixture_sample, were promoted to the graded registry in
+        # round 5)
         "substring_dups": q_substring_dups,
         "span_decontaminate": q_span_decontaminate,
+        # retired by the second round-5 swap (in favor of pii_scan +
+        # mixture_sample): doclen_percentiles' length stats ride the graded
+        # corpus_profile/profile_stats rows (and the calibrated-threshold
+        # pytest grades exact percentiles vs DuckDB quantile_cont directly);
+        # tpch_q6's scan+filter+agg is strictly contained in tpch_q1 and its
+        # pushdown showcase stays plan-gated in tests/test_plans.py
+        "doclen_percentiles": q_doclen_percentiles,
+        "tpch_q6": q_tpch_q6,
         # retired by the round-5 registry swap: dedup_jaccard_bigram's exact
         # word-bigram Jaccard predicate is the same inverted-index
         # shared/(na+nb-sh) computation the graded minhash_lsh_dups and
@@ -1389,6 +1407,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from owl2jsonschema_js_spark.datagen import LCG_MOD, LCG_MUL, lcg_offset
+    from owl2jsonschema_js_spark.operators.curation import PII_PATTERNS
     from owl2jsonschema_js_spark.operators.textstats import LANG_PROFILES
     from owl2jsonschema_js_spark.xsd_facets import FORMAT_PATTERNS
 
@@ -2024,13 +2043,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE NOT (length(text) >= 60 AND length(text) <= 400)
         """,
-        "tpch_q6": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-            FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              AND l_shipdate < TIMESTAMP '1997-01-01'
-              AND l_discount >= 0.04 AND l_discount <= 0.06
-              AND l_quantity < 24
+        "pii_scan": f"""
+            -- planted-PII rollup: doc_id%7 routes an email / ipv4 / ssn
+            -- suffix onto the text; per-class regexp counts (RE2 patterns
+            -- run identically under java.util.regex and DuckDB) roll up to
+            -- class totals + docs-with-any across ALL {len(PII_PATTERNS)}
+            -- policy classes
+            WITH p AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0 THEN ' mail me: a@b.io'
+                                  WHEN doc_id % 7 = 1 THEN ' host 192.168.0.12'
+                                  WHEN doc_id % 7 = 2 THEN ' ssn 987-65-4320'
+                                  ELSE '' END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+                     len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+                     len(regexp_extract_all(text, '{PII_PATTERNS["ssn"]}')) AS n_ssn,
+                     {" + ".join(f"len(regexp_extract_all(text, '{p}'))"
+                                 for p in PII_PATTERNS.values())} AS n_total
+              FROM p)
+            SELECT CAST(sum(n_email) AS BIGINT) AS n_email,
+                   CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+                   CAST(sum(n_ssn) AS BIGINT) AS n_ssn,
+                   CAST(sum(CASE WHEN n_total > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS docs_with_pii
+            FROM c
         """,
         "tpch_q5": """
             SELECT n_name,
@@ -2152,12 +2191,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(value) AS BIGINT) AS n_values
             FROM events GROUP BY 1
         """,
-        "doclen_percentiles": """
-            SELECT lang,
-                   round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
-                   round(quantile_cont(n_chars, 0.95), 4) AS p95_chars,
-                   CAST(count(*) AS BIGINT) AS n_docs
-            FROM documents GROUP BY 1
+        "mixture_sample": r"""
+            -- deterministic stratified LCG sample, bit-exact twin of
+            -- hash_sample (glibc constants; key reduced via pmod into
+            -- [0, 2^31) so negative ids fold identically): keep iff
+            -- lcg(doc_id) < rate * 2^31; sources outside the plan drop
+            WITH r(source, rate) AS (VALUES
+              ('src0', 1.0), ('src1', 0.5), ('src2', 0.25), ('src3', 0.1)),
+            k AS (
+              SELECT d.source, d.doc_id
+              FROM documents d JOIN r ON d.source = r.source
+              WHERE ((((d.doc_id % 2147483648) + 2147483648) % 2147483648)
+                     * 1103515245 + 12345) % 2147483648
+                    < CAST(r.rate AS DOUBLE) * 2147483648)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM k GROUP BY source ORDER BY source
         """,
         "streaming_contiguity": """
             WITH t AS (

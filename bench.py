@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     # per-round BENCH_r{N} tracks the graded surface)
     "decontaminate",
     "pack_shards",
+    "pii_scan",
+    "mixture_sample",
 ]
 
 

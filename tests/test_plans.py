@@ -90,7 +90,7 @@ def test_tpch_q6_full_pushdown_and_pruned_scan(spark):
     """q6: every predicate reaches PushedFilters; scan reads only 4 columns."""
     import __spark_entry__ as e
 
-    q6 = e.queries()["tpch_q6"](spark, SF)
+    q6 = e.extra_queries()["tpch_q6"](spark, SF)
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert has_pushed_filter(q6, col), col
     assert set(read_schema_columns(q6)) == {
