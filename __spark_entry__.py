@@ -682,6 +682,28 @@ def q_decontaminate(spark, sf_dir):
                       F.round("eval_frac", 6).alias("eval_frac"))
 
 
+def q_sketch_distinct(spark, sf_dir):
+    """Mergeable HLL distinct-count profiling (stats.sketch_profile): the
+    events table split into a stored 'baseline' half and an 'increment'
+    half, each profiled independently, merged via register union, read back
+    as global per-column estimates — the incremental shape where corpus
+    distinct counts update without rescanning old partitions. Accuracy and
+    merge semantics are pytest-gated against exact distincts
+    (tests/test_stats_sketch.py); no SQL oracle (DuckDB cannot reproduce
+    DataSketches register state)."""
+    from owl2jsonschema_js_spark.stats import (merge_sketch_profiles,
+                                               sketch_estimates,
+                                               sketch_profile)
+
+    ev = _t(spark, sf_dir, "events").withColumn("part", F.col("event_type"))
+    cols = ["user_id", "value", "props"]
+    base = ev.where(F.col("event_id") % 2 == 0)
+    inc = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_sketch_profiles(sketch_profile(base, cols),
+                                   sketch_profile(inc, cols))
+    return sketch_estimates(merged).orderBy("column")
+
+
 def q_pii_scan(spark, sf_dir):
     """Corpus PII rollup over deterministically planted PII (the synthetic
     corpus carries none): per-class totals + docs-with-any-PII count, one
@@ -1379,6 +1401,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # collapse via dedup_survivors — this entry exercises the composed
         # lane end-to-end (deterministic planted mirrors, pytest-verified)
         "semantic_dedup": q_semantic_dedup,
+        # round-5 addition: mergeable HLL distinct-count profiles (baseline +
+        # increment union without rescanning the baseline); DuckDB cannot
+        # reproduce DataSketches register state, so correctness is the
+        # exact-distinct tolerance + determinism pytest suite
+        "sketch_distinct": q_sketch_distinct,
         # span-level lanes outside the 50-slot graded cap; each carries an
         # exact brute-force-oracle pytest (tests/test_substring.py) instead
         # of a registry row — their span outputs need the O(n·m) Python

