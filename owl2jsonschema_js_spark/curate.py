@@ -15,6 +15,11 @@ split          leakage-safe train/test split (near-dup clusters move as units)
 ann-build      create/grow a persisted IVF index (--index root; --grow appends)
 ann-query      batched top-k over a persisted IVF index (--queries parquet;
                output rows carry query_<id-col> = the query's real id)
+profile        mergeable HLL distinct-count profile of --columns into a
+               profile store (--epoch slots increments; re-running an epoch
+               rewrites it — counts never double; the store is the same
+               batch_id-partition layout the streaming monitor writes, so
+               profile_stream.read_profile reads both)
 
 Every command reads parquet via TableIO (Iceberg when the runtime jar is
 present), writes parquet to --output, and prints one JSON summary line.
@@ -97,6 +102,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--grow", action="store_true",
                    help="append to an existing index (quantizer frozen) "
                         "instead of (re)building it")
+
+    p = sub.add_parser("profile")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True,
+                   help="profile store root (batch_id-partitioned parquet)")
+    p.add_argument("--columns", required=True,
+                   help="comma-separated columns to profile")
+    p.add_argument("--part-col", default="part",
+                   help="partition column for per-partition stats; absent "
+                        "from the input => one synthetic 'all' partition")
+    p.add_argument("--epoch", type=int, default=0,
+                   help="this increment's slot in the store; re-running the "
+                        "same epoch REWRITES it (idempotent), a new epoch "
+                        "merges in as an increment")
 
     p = sub.add_parser("ann-query")
     p.add_argument("--index", required=True)
@@ -228,6 +247,30 @@ def main(argv: list[str] | None = None) -> int:
             st = {k: v for k, v in store.stats().items() if k != "sizes"}
             summary = {"cmd": "ann-build", "grow": False,
                        "vectors_in": n_in, **st}
+    elif args.cmd == "profile":
+        from owl2jsonschema_js_spark.stats import (sketch_estimates,
+                                                   sketch_profile)
+        from owl2jsonschema_js_spark.streaming.profile_stream import \
+            read_profile
+        cols = [c for c in args.columns.split(",") if c]
+        missing = [c for c in cols if c not in docs.columns]
+        if missing:
+            ap.error(f"--columns not in input: {missing}")
+        if args.part_col not in docs.columns:
+            docs = docs.withColumn(args.part_col, F.lit("all"))
+        (sketch_profile(docs, cols, part_col=args.part_col)
+         .withColumn("batch_id", F.lit(args.epoch))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(args.output))
+        est = {r["column"]: r for r in
+               sketch_estimates(read_profile(spark, args.output)).collect()}
+        summary = {"cmd": "profile", "rows_in": n_in, "epoch": args.epoch,
+                   "columns": {c: {"n": int(v["n"]),
+                                   "nulls": int(v["nulls"]),
+                                   "distinct_est": int(v["distinct_est"])}
+                               for c, v in est.items()}}
     elif args.cmd == "ann-query":
         from owl2jsonschema_js_spark.operators.ivf_store import IvfIndexStore
         store = IvfIndexStore(spark, args.index,

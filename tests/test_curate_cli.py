@@ -171,3 +171,39 @@ def test_cli_rejects_rate_conflicts(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["sample", "--input", SF, "--output", str(tmp_path / "y"),
               "--rate", "0.5", "--rates", "src0=1.0"])
+
+
+def test_cli_profile_increments_and_idempotent_epochs(spark, tmp_path, capsys):
+    """profile: epoch 0 over half the corpus, epoch 1 over the rest — the
+    second summary reports the MERGED corpus (n exact, estimates in bound);
+    re-running epoch 1 rewrites its slot and changes nothing."""
+    import duckdb
+
+    half = str(tmp_path / "half")
+    rest = str(tmp_path / "rest")
+    docs = spark.read.parquet(SF)
+    docs.where("doc_id % 2 = 0").write.parquet(half)
+    docs.where("doc_id % 2 = 1").write.parquet(rest)
+    store = str(tmp_path / "prof")
+
+    s0 = _run(capsys, ["profile", "--input", half, "--output", store,
+                       "--columns", "lang,source", "--epoch", "0"])
+    s1 = _run(capsys, ["profile", "--input", rest, "--output", store,
+                       "--columns", "lang,source", "--epoch", "1"])
+    n_all = docs.count()
+    assert s0["columns"]["lang"]["n"] + s1["rows_in"] == n_all
+    assert s1["columns"]["lang"]["n"] == n_all        # merged across epochs
+    exact = duckdb.connect().execute(
+        f"SELECT count(DISTINCT source) FROM read_parquet('{SF}')"
+    ).fetchone()[0]
+    got = s1["columns"]["source"]["distinct_est"]
+    assert abs(got - exact) <= max(2, 0.05 * exact)
+
+    s1b = _run(capsys, ["profile", "--input", rest, "--output", store,
+                        "--columns", "lang,source", "--epoch", "1"])
+    assert s1b["columns"] == s1["columns"]            # replay: no double-count
+
+    with pytest.raises(SystemExit):                   # unknown column is loud
+        from owl2jsonschema_js_spark.curate import main
+        main(["profile", "--input", half, "--output", store,
+              "--columns", "nope"])
