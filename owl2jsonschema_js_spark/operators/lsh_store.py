@@ -100,24 +100,28 @@ class LshIndexStore:
         (_banded(stored, self.n_hashes, self.bands)
          .write.mode("error").partitionBy("band_no").parquet(self.buckets_path))
 
-    def features(self) -> DataFrame:
+    def features(self, id_type: str = "long") -> DataFrame:
         """Stored (id, grams, sig) rows; empty frame before the first
         create/increment (probed by READING, not a driver-local path check —
-        the store lives wherever Spark's filesystem does: s3a/hdfs/file)."""
+        the store lives wherever Spark's filesystem does: s3a/hdfs/file).
+        ``id_type`` types the EMPTY frame's id column — internal callers
+        pass the increment's actual id dtype so a first increment over
+        string doc ids does not die on a string-vs-long union/least (the
+        ids keep their source dtype end-to-end, as in minhash_features)."""
         from pyspark.errors import AnalysisException
         try:
             return self.spark.read.parquet(self.features_path)
         except AnalysisException:
             return self.spark.createDataFrame(
-                [], "id long, grams array<bigint>, sig array<bigint>")
+                [], f"id {id_type}, grams array<bigint>, sig array<bigint>")
 
-    def buckets(self) -> DataFrame:
+    def buckets(self, id_type: str = "long") -> DataFrame:
         from pyspark.errors import AnalysisException
         try:
             return self.spark.read.parquet(self.buckets_path)
         except AnalysisException:
             return self.spark.createDataFrame(
-                [], "id long, band_no int, bucket long")
+                [], f"id {id_type}, band_no int, bucket long")
 
     # ----------------------------------------------------------- growing
     def _increment_plan(self, fresh: DataFrame) -> DataFrame:
@@ -125,8 +129,9 @@ class LshIndexStore:
         increment — split out so the sig-never-read plan gate in
         tests/test_lsh_store.py can inspect exactly the plan
         :meth:`increment` executes."""
+        idt = fresh.schema["id"].dataType.simpleString()
         new_banded = _banded(fresh, self.n_hashes, self.bands)
-        old_banded = self.buckets().select("band_no", "bucket", "id")
+        old_banded = self.buckets(idt).select("band_no", "bucket", "id")
 
         # bucket-size guard over old+new TOGETHER (identical to the batch
         # lane: a boilerplate bucket that only crossed max_bucket via this
@@ -169,7 +174,7 @@ class LshIndexStore:
         # stored side excludes fresh ids structurally: after a partial grow
         # the features table may already hold them, and a doubled grams row
         # would fan the verify join out into duplicate pair rows.
-        grams = (self.features().select("id", "grams")
+        grams = (self.features(idt).select("id", "grams")
                  .join(fresh.select("id"), "id", "left_anti")
                  .unionByName(fresh.select("id", "grams")))
         return _verify_jaccard(cands, grams, self.threshold)
@@ -209,8 +214,9 @@ class LshIndexStore:
         :meth:`grow` would double the fresh rows into the grams join and the
         bucket-size guard. Candidate-bounded and increment-sized
         respectively, so both checkpoints are small by construction."""
-        buckets = self.buckets()
-        if buckets.isEmpty() and not self.features().isEmpty():
+        idt = new_docs.schema[self.id_col].dataType.simpleString()
+        buckets = self.buckets(idt)
+        if buckets.isEmpty() and not self.features(idt).isEmpty():
             raise RuntimeError(
                 f"LSH store at {self.root!r} has features rows but no band "
                 "rows (crashed create()?): increments would silently find "
@@ -219,7 +225,7 @@ class LshIndexStore:
         band_complete = (buckets.groupBy("id")
                          .agg(F.count_distinct("band_no").alias("nb"))
                          .where(F.col("nb") == self.bands).select("id"))
-        fully_indexed = (self.features().select("id")
+        fully_indexed = (self.features(idt).select("id")
                          .join(band_complete, "id", "left_semi"))
         fresh = (minhash_features(new_docs, self.n_hashes, self.shingle_k,
                                   self.id_col, self.text_col)
@@ -241,11 +247,12 @@ class LshIndexStore:
         generating candidates. Both missing-row frames are materialized
         BEFORE either write so neither append job reads the path it is
         appending to."""
-        feat_missing = (fresh.join(self.features().select("id"),
+        idt = fresh.schema["id"].dataType.simpleString()
+        feat_missing = (fresh.join(self.features(idt).select("id"),
                                    "id", "left_anti")
                         .localCheckpoint(eager=True))
         bucket_missing = (_banded(fresh, self.n_hashes, self.bands)
-                          .join(self.buckets().select("id", "band_no"),
+                          .join(self.buckets(idt).select("id", "band_no"),
                                 ["id", "band_no"], "left_anti")
                           .localCheckpoint(eager=True))
         feat_missing.write.mode("append").parquet(self.features_path)

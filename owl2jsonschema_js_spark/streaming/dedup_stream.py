@@ -71,8 +71,13 @@ def dedup_monitor(index_path: str, pairs_path: str, checkpoint_dir: str,
         spark = batch_df.sparkSession
         index = _load_index(spark)
         if index is None:
+            # the empty bootstrap index types its id from the BATCH — ids
+            # keep their source dtype end-to-end (minhash_features aliases,
+            # never casts), so a hardcoded long here would crash batch 0 of
+            # a string-doc-id stream on the union/least inside the kernel
+            idt = batch_df.schema[id_col].dataType.simpleString()
             index = spark.createDataFrame(
-                [], "id long, grams array<bigint>, sig array<bigint>")
+                [], f"id {idt}, grams array<bigint>, sig array<bigint>")
         # sign the batch ONCE and anti-join ONCE, own the cache: the same
         # persisted FRESH rows (ids absent from the stored index — replay /
         # re-crawl idempotency) drive the pair kernel (new_feat_is_fresh

@@ -328,3 +328,40 @@ def test_features_only_store_fails_loudly(spark, docs, tmp_path):
         store.increment(new)
     assert store.doctor() > 0              # and doctor still repairs it
     assert store.increment(new).count() > 0
+
+
+def test_store_first_increment_on_string_ids(spark, tmp_path):
+    """Ids keep their source dtype end-to-end; the PRE-CREATE empty-table
+    fallbacks must type their id column from the increment, not a hardcoded
+    long — a string-id corpus used to crash batch 0 on a string-vs-bigint
+    least()/union."""
+    mk = lambda pref, n: spark.createDataFrame(
+        [(f"{pref}-{i}", ("lorem ipsum dolor sit amet " * 10) + str(i % 3))
+         for i in range(n)], "doc_id string, text string")
+    store = LshIndexStore(spark, str(tmp_path / "lsh_str"), threshold=0.5)
+    p1 = store.increment(mk("doc", 12))           # empty store: bootstrap path
+    assert p1.count() > 0
+    assert p1.schema["a_id"].dataType.simpleString() == "string"
+    p2 = store.increment(mk("new", 4))            # against stored string ids
+    got = {(r["a_id"], r["b_id"]) for r in p2.collect()}
+    assert got and all(a.startswith("new-") or b.startswith("new-")
+                       for a, b in got)
+    assert store.features().schema["id"].dataType.simpleString() == "string"
+
+
+def test_streaming_monitor_batch0_on_string_ids(spark, tmp_path):
+    """Same dtype contract for the plain streaming monitor's empty bootstrap
+    index (batch 0 of a string-doc-id stream)."""
+    from owl2jsonschema_js_spark.streaming.dedup_stream import dedup_monitor
+
+    attach = dedup_monitor(str(tmp_path / "idx"), str(tmp_path / "pairs"),
+                           str(tmp_path / "ckpt"), threshold=0.5)
+    batch = spark.createDataFrame(
+        [(f"conv-{i}", ("alpha beta gamma delta " * 12) + str(i % 2))
+         for i in range(10)], "doc_id string, text string")
+    attach.write_batch(batch, 0)                  # used to raise on batch 0
+    pairs = spark.read.parquet(str(tmp_path / "pairs"))
+    assert pairs.count() > 0
+    assert pairs.schema["a_id"].dataType.simpleString() == "string"
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert idx.schema["id"].dataType.simpleString() == "string"
