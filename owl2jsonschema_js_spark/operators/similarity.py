@@ -175,8 +175,11 @@ def ivf_topk_batch(
             })
 
     par = emb.sparkSession.sparkContext.defaultParallelism
+    # id keeps its SOURCE dtype (string/int/long corpora all valid — the
+    # hardcoded `long` here used to break non-bigint ids at Arrow transfer)
+    id_t = emb.schema[id_col].dataType.simpleString()
     cands = emb.repartition(par).select(id_col, vec_col).mapInPandas(
-        score, f"query_id int, {id_col} long, score double")
+        score, f"query_id int, {id_col} {id_t}, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return (cands.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))

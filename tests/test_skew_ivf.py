@@ -300,3 +300,25 @@ def test_write_bucketed_guard_enforces_measured_skew(spark, fixture60, tmp_path)
         for t in ("guard_warn", "guard_raise", "guard_prof", "guard_clean", "guard_bare",
                   "guard_override", "guard_bad"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_batch_preserves_source_id_dtype(spark):
+    """ivf_topk_batch's output schema types the id from the SOURCE column —
+    a string-id embedding corpus used to break at Arrow transfer on the
+    hardcoded bigint."""
+    import numpy as np
+
+    from owl2jsonschema_js_spark.operators.similarity import ivf_topk_batch
+
+    rng = np.random.default_rng(7)
+    # unit vectors: scores are raw dot products, so self (dot = 1) is the
+    # strict argmax only when every vector is normalized
+    vecs = rng.standard_normal((40, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(f"vec-{i}", [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = ivf_topk_batch(emb, [rows[3][1], rows[17][1]], k=3,
+                         n_centroids=4, nprobe=4)
+    assert out.schema["vec_id"].dataType.simpleString() == "string"
+    got = {r["query_id"]: r["vec_id"] for r in out.where("rank = 1").collect()}
+    assert got == {0: "vec-3", 1: "vec-17"}  # full probe: self is nearest
