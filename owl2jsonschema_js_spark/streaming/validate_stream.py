@@ -52,6 +52,12 @@ def drift_monitor(baseline: dict, out_path: str, checkpoint_dir: str,
     turn-gap drift needs cross-batch per-conversation ordering state and
     stays on the batch path (drift.py), which is the honest split.
 
+    Replay note: the jsonl feed is at-least-once — a crash-replayed batch
+    re-appends its line (same ``batch_id``, recomputed-identical content);
+    consumers key on batch_id. A driver-local line append has no
+    partition-overwrite analog; at cluster scale this feed is a message
+    bus/metrics emit, where per-batch-id dedup is the consumer contract.
+
     Returns an attach(stream_df) factory like :func:`violations_writer`."""
     import json
 
@@ -72,21 +78,30 @@ def drift_monitor(baseline: dict, out_path: str, checkpoint_dir: str,
                 .option("checkpointLocation", checkpoint_dir)
                 .trigger(availableNow=True))
 
+    attach.write_batch = write_batch  # direct handle for replay testing
     return attach
 
 
 def violations_writer(plan: RulePlan, out_path: str, checkpoint_dir: str,
                       catalog: DataFrame | None = None):
     """foreachBatch sink: run the batch violation extraction on each
-    micro-batch and append to parquet. Returns the started query factory —
-    call .start() on the returned writer. `catalog` is the referential
+    micro-batch and write it into the batch's own ``batch_id=<n>`` partition
+    (dynamic partition overwrite — the repo's exactly-once replay
+    discipline, same as the dedup pairs and profile monitors: a crash-replay
+    recomputes the same deterministic violation set and REWRITES the
+    partition instead of appending a duplicate copy; a plain append here
+    would double every replayed batch's violation rows). Returns the query
+    factory — call .start() on attach(stream). `catalog` is the referential
     dimension (a static DataFrame joined into every micro-batch)."""
     runner = ValidationRunner(plan)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         res = runner.run(batch_df, catalog=catalog)
-        res.violations.withColumn("batch_id", F.lit(batch_id)) \
-            .write.mode("append").parquet(out_path)
+        (res.violations.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_path))
 
     def attach(stream_df: DataFrame):
         return (stream_df.writeStream
@@ -94,4 +109,5 @@ def violations_writer(plan: RulePlan, out_path: str, checkpoint_dir: str,
                 .option("checkpointLocation", checkpoint_dir)
                 .trigger(availableNow=True))
 
+    attach.write_batch = write_batch  # direct handle for replay testing
     return attach

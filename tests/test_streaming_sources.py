@@ -375,3 +375,23 @@ def test_turn_monitor_evicts_idle_state_and_reseeds(spark, tmp_path):
 
     assert run_feed("bounded", idle_timeout_ms=TIMEOUT_MS) == {("idle", 2, "gap")}
     assert run_feed("forever", idle_timeout_ms=None) == set()
+
+
+def test_streaming_violations_replay_exactly_once(spark, fixture60, tmp_path):
+    """A crash-replayed micro-batch must REWRITE its batch_id partition, not
+    append a second copy of its violation rows (the same exactly-once
+    discipline as the dedup pairs and profile monitors)."""
+    from owl2jsonschema_js_spark.streaming.validate_stream import violations_writer
+
+    out = str(tmp_path / "out")
+    df = fixture60.to_spark(spark)
+    plan = _plan(df)
+    attach = violations_writer(plan, out, str(tmp_path / "ckpt"),
+                               catalog=fixture60.catalog_spark(spark))
+    attach.write_batch(df, 0)
+    before = sorted(map(tuple, spark.read.parquet(out)
+                        .select("rule_id", "conv_id", "turn_idx").collect()))
+    attach.write_batch(df, 0)  # the streaming engine's crash-replay
+    after = sorted(map(tuple, spark.read.parquet(out)
+                       .select("rule_id", "conv_id", "turn_idx").collect()))
+    assert after == before and before
