@@ -239,6 +239,53 @@ def merge_sketch_profiles(*profiles: DataFrame) -> DataFrame:
             .select("part", "column", "n", "nulls", "sketch"))
 
 
+def sketch_vocab_drift(baseline: DataFrame, current: DataFrame) -> DataFrame:
+    """Vocabulary drift between two sketch profiles — the distinct-SET
+    companion to drift.py's distribution checks (KS/PSI see a shifted
+    histogram; they cannot see a column whose value set churned while its
+    length distribution stayed put, e.g. a tool-name column after a fleet
+    redeploy).
+
+    Computed ENTIRELY from stored sketches (no data rescanned)::
+
+        (column, base_distinct, cur_distinct, union_distinct,
+         est_jaccard, new_value_rate)
+
+    where ``est_jaccard`` estimates |base ∩ cur| / |base ∪ cur| by
+    inclusion–exclusion over the HLL estimates and ``new_value_rate``
+    estimates the fraction of the CURRENT value set unseen in the baseline
+    — the "how much new vocabulary arrived" number an operator alerts on.
+
+    Accuracy note (inherent to inclusion–exclusion, stated plainly): the
+    intersection is a DIFFERENCE of ~1%-RSE estimates, so its relative
+    error grows as the true intersection shrinks relative to the union —
+    near-disjoint sets can even yield small negative intersections (clamped
+    to 0 here). Thresholds on these numbers are heuristics; both estimates
+    are deterministic for the same inputs."""
+    b = (baseline.groupBy("column")
+         .agg(F.hll_union_agg("sketch").alias("skb")))
+    c = (current.groupBy("column")
+         .agg(F.hll_union_agg("sketch").alias("skc")))
+    j = (b.join(c, "column")
+         .select("column",
+                 F.hll_sketch_estimate("skb").alias("base_distinct"),
+                 F.hll_sketch_estimate("skc").alias("cur_distinct"),
+                 F.hll_sketch_estimate(F.hll_union("skb", "skc"))
+                 .alias("union_distinct")))
+    inter = F.greatest(
+        F.col("base_distinct") + F.col("cur_distinct") - F.col("union_distinct"),
+        F.lit(0))
+    return (j.withColumn("est_jaccard",
+                         F.when(F.col("union_distinct") > 0,
+                                inter / F.col("union_distinct"))
+                         .otherwise(F.lit(0.0)))
+            .withColumn("new_value_rate",
+                        F.when(F.col("cur_distinct") > 0,
+                               (F.col("cur_distinct") - inter)
+                               / F.col("cur_distinct"))
+                        .otherwise(F.lit(0.0))))
+
+
 def sketch_estimates(profile: DataFrame, per_part: bool = False) -> DataFrame:
     """Read a sketch profile back as numbers.
 

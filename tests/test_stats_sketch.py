@@ -134,3 +134,39 @@ def test_empty_and_bad_inputs(spark):
         merge_sketch_profiles()
     empty = spark.createDataFrame([], "v int, part string")
     assert sketch_estimates(sketch_profile(empty, ["v"])).count() == 0
+
+
+def test_vocab_drift_known_overlap(spark):
+    """Planted overlap: base vocab 0..2999, current 1500..4499 — true
+    intersection 1500, union 4500, jaccard 1/3, new-value rate 1/2."""
+    from owl2jsonschema_js_spark.stats import sketch_vocab_drift
+
+    base = spark.range(0, 30000).select((F.col("id") % 3000).alias("v"),
+                                        F.lit("p").alias("part"))
+    cur = spark.range(0, 30000).select((F.col("id") % 3000 + 1500).alias("v"),
+                                       F.lit("p").alias("part"))
+    row = sketch_vocab_drift(sketch_profile(base, ["v"]),
+                             sketch_profile(cur, ["v"])).collect()[0]
+    assert abs(row["base_distinct"] - 3000) <= TOL * 3000
+    assert abs(row["union_distinct"] - 4500) <= TOL * 4500
+    # intersection rides inclusion-exclusion: allow the summed error
+    assert abs(row["est_jaccard"] - 1 / 3) <= 0.05
+    assert abs(row["new_value_rate"] - 0.5) <= 0.05
+
+
+def test_vocab_drift_identical_and_disjoint(spark):
+    from owl2jsonschema_js_spark.stats import sketch_vocab_drift
+
+    a = spark.range(0, 20000).select((F.col("id") % 2000).alias("v"),
+                                     (F.col("id") % 3).alias("part"))
+    same = sketch_vocab_drift(sketch_profile(a, ["v"]),
+                              sketch_profile(a, ["v"])).collect()[0]
+    # identical profiles: union == both sides EXACTLY (same register state)
+    assert same["est_jaccard"] == 1.0 and same["new_value_rate"] == 0.0
+
+    b = spark.range(0, 20000).select((F.col("id") % 2000 + 10_000_000).alias("v"),
+                                     (F.col("id") % 3).alias("part"))
+    dis = sketch_vocab_drift(sketch_profile(a, ["v"]),
+                             sketch_profile(b, ["v"])).collect()[0]
+    assert dis["est_jaccard"] <= 0.03          # clamped near zero
+    assert dis["new_value_rate"] >= 0.97
