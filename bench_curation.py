@@ -43,6 +43,17 @@ def main() -> None:
     evals = docs.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_id"), "text")
 
+    def _sketch(d):
+        from owl2jsonschema_js_spark.stats import (merge_sketch_profiles,
+                                                   sketch_estimates,
+                                                   sketch_profile)
+        part = d.withColumn("part", F.col("source"))
+        base = part.where(F.col("doc_id") % 2 == 0)
+        inc = part.where(F.col("doc_id") % 2 == 1)
+        return sketch_estimates(merge_sketch_profiles(
+            sketch_profile(base, ["lang", "source"]),
+            sketch_profile(inc, ["lang", "source"])))
+
     def timed(fn):
         t0 = time.perf_counter()
         n = fn().count()
@@ -59,6 +70,7 @@ def main() -> None:
         ("substring_dups", lambda: substring_dups(docs, min_len=60, k=16)),
         ("span_survivors", lambda: span_dedup_survivors(
             docs, min_len=60, k=16, min_coverage=0.5)),
+        ("sketch_profile", lambda: _sketch(docs)),
     ]:
         times[name], rows[name] = timed(fn)
 
