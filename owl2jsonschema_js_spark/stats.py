@@ -171,12 +171,17 @@ def _sketch_key(df: DataFrame, c: str):
     on the values that matter for a distinct count (double -> shortest
     round-trip literal, timestamp -> microsecond text, boolean ->
     'true'/'false'), so the sketch of the strings estimates the same
-    cardinality as the source column."""
+    cardinality as the source column. One float quirk handled explicitly:
+    Spark's own distinct/groupBy semantics equate -0.0 with 0.0, but their
+    string forms differ — ``+ 0.0`` (IEEE: -0.0 + 0.0 == +0.0) folds them
+    before the cast so the sketch agrees with ``count(DISTINCT col)``."""
     t = df.schema[c].dataType.simpleString()
     if t in _SKETCHABLE:
         return F.col(c)
     if t in ("tinyint", "smallint"):
         return F.col(c).cast("int")
+    if t in ("float", "double"):
+        return (F.col(c) + F.lit(0.0)).cast("string")
     return F.col(c).cast("string")
 
 

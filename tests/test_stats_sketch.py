@@ -170,3 +170,15 @@ def test_vocab_drift_identical_and_disjoint(spark):
                              sketch_profile(b, ["v"])).collect()[0]
     assert dis["est_jaccard"] <= 0.03          # clamped near zero
     assert dis["new_value_rate"] >= 0.97
+
+
+def test_negative_zero_folds_like_spark_distinct(spark):
+    """Spark's distinct/groupBy equate -0.0 and 0.0; the string
+    canonicalization must not split them into two sketch values."""
+    df = spark.createDataFrame(
+        [(0.0, "p"), (-0.0, "p"), (1.5, "p"), (float("nan"), "p")],
+        "d double, part string")
+    got = sketch_estimates(sketch_profile(df, ["d"])).collect()[0]
+    exact = df.select("d").distinct().count()   # 3: {0.0, 1.5, NaN}
+    assert exact == 3
+    assert got["distinct_est"] == 3
