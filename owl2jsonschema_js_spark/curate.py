@@ -116,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="this increment's slot in the store; re-running the "
                         "same epoch REWRITES it (idempotent), a new epoch "
                         "merges in as an increment")
+    p.add_argument("--drift-against", default=None,
+                   help="baseline profile store: add per-column vocabulary "
+                        "drift (est_jaccard, new_value_rate) vs it to the "
+                        "summary — sketches only, no data rescanned")
 
     p = sub.add_parser("ann-query")
     p.add_argument("--index", required=True)
@@ -271,6 +275,15 @@ def main(argv: list[str] | None = None) -> int:
                                    "nulls": int(v["nulls"]),
                                    "distinct_est": int(v["distinct_est"])}
                                for c, v in est.items()}}
+        if args.drift_against:
+            from owl2jsonschema_js_spark.stats import sketch_vocab_drift
+            drift = sketch_vocab_drift(
+                read_profile(spark, args.drift_against),
+                read_profile(spark, args.output)).collect()
+            summary["drift"] = {
+                r["column"]: {"est_jaccard": round(r["est_jaccard"], 4),
+                              "new_value_rate": round(r["new_value_rate"], 4)}
+                for r in drift}
     elif args.cmd == "ann-query":
         from owl2jsonschema_js_spark.operators.ivf_store import IvfIndexStore
         store = IvfIndexStore(spark, args.index,

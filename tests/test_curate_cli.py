@@ -207,3 +207,32 @@ def test_cli_profile_increments_and_idempotent_epochs(spark, tmp_path, capsys):
         from owl2jsonschema_js_spark.curate import main
         main(["profile", "--input", half, "--output", store,
               "--columns", "nope"])
+
+
+def test_cli_profile_drift_against_baseline(spark, tmp_path, capsys):
+    """--drift-against compares two profile stores sketch-to-sketch: same
+    corpus reads stable (new_value_rate ~0), a churned column reads hot."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SF)
+    same = str(tmp_path / "same")
+    docs.write.parquet(same)
+    churn = str(tmp_path / "churn")
+    docs.withColumn("source", F.concat(F.lit("NEW:"), "source")) \
+        .write.parquet(churn)
+
+    base_store = str(tmp_path / "bp")
+    _run(capsys, ["profile", "--input", SF, "--output", base_store,
+                  "--columns", "lang,source"])
+    s_same = _run(capsys, ["profile", "--input", same,
+                           "--output", str(tmp_path / "sp"),
+                           "--columns", "lang,source",
+                           "--drift-against", base_store])
+    assert s_same["drift"]["lang"]["new_value_rate"] <= 0.05
+    assert s_same["drift"]["source"]["est_jaccard"] >= 0.95
+    s_churn = _run(capsys, ["profile", "--input", churn,
+                            "--output", str(tmp_path / "cp"),
+                            "--columns", "lang,source",
+                            "--drift-against", base_store])
+    assert s_churn["drift"]["source"]["new_value_rate"] >= 0.95
+    assert s_churn["drift"]["lang"]["new_value_rate"] <= 0.05
