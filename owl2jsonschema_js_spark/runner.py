@@ -250,8 +250,13 @@ class ValidationRunner:
         return (
             df.select(k0, k1, self.part_col)
             .groupBy(k0, k1)
+            # min, not first: a duplicate key straddling STORAGE partitions
+            # (date-partitioned tables; conv-hash parts can't straddle) must
+            # attribute to the same part on every run — first() is
+            # evaluation-order-dependent and would flip verdict attribution
+            # between runs on such layouts
             .agg(F.count(F.lit(1)).alias("__kcnt"),
-                 F.first(self.part_col).alias(self.part_col))
+                 F.min(self.part_col).alias(self.part_col))
         )
 
     def _uniqueness_from_keyed(self, keyed: DataFrame) -> DataFrame:
@@ -282,7 +287,8 @@ class ValidationRunner:
             F.countDistinct(F.col(k1)).alias("__nd"),
             F.min(k1).alias("__mn"),
             F.max(k1).alias("__mx"),
-            F.first(self.part_col).alias(self.part_col),
+            # min for run-to-run deterministic attribution (see _keyed_counts)
+            F.min(self.part_col).alias(self.part_col),
         )
 
     def _grouped_from_keyed(self, keyed: DataFrame) -> DataFrame:
@@ -298,7 +304,8 @@ class ValidationRunner:
             F.count(F.col(k1)).alias("__nd"),
             F.min(k1).alias("__mn"),
             F.max(k1).alias("__mx"),
-            F.first(self.part_col).alias(self.part_col),
+            # min for run-to-run deterministic attribution (see _keyed_counts)
+            F.min(self.part_col).alias(self.part_col),
         )
 
     def _uniqueness_violations_gated(self, df: DataFrame, grouped: DataFrame) -> DataFrame:
