@@ -182,6 +182,11 @@ def _sketch_key(df: DataFrame, c: str):
         return F.col(c).cast("int")
     if t in ("float", "double"):
         return (F.col(c) + F.lit(0.0)).cast("string")
+    if t.startswith(("array<", "struct<", "map<")):
+        # NOT the plain string cast: Spark renders array<string> elements
+        # unquoted, so ['a, b'] and ['a','b'] both print '[a, b]' and the
+        # sketch silently UNDER-counts; to_json escapes, so it is injective
+        return F.to_json(F.col(c))
     return F.col(c).cast("string")
 
 

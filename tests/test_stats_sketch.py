@@ -182,3 +182,22 @@ def test_negative_zero_folds_like_spark_distinct(spark):
     exact = df.select("d").distinct().count()   # 3: {0.0, 1.5, NaN}
     assert exact == 3
     assert got["distinct_est"] == 3
+
+
+def test_complex_types_sketch_via_injective_json(spark):
+    """array/struct columns must NOT ride the plain string cast: Spark
+    renders array<string> elements unquoted, so ['a, b'] and ['a','b'] both
+    print '[a, b]' and the sketch would silently under-count. to_json
+    escapes and distinguishes them."""
+    df = spark.createDataFrame(
+        [(["a, b"], "p"), (["a", "b"], "p"), (["a", "b"], "p")],
+        "v array<string>, part string")
+    got = sketch_estimates(sketch_profile(df, ["v"])).collect()[0]
+    assert got["distinct_est"] == df.select("v").distinct().count() == 2
+
+    emb = spark.range(0, 500).selectExpr(
+        "array(CAST(id % 50 AS DOUBLE), CAST(id % 7 AS DOUBLE)) AS e",
+        "CAST(id % 4 AS STRING) AS part")
+    g2 = sketch_estimates(sketch_profile(emb, ["e"])).collect()[0]
+    exact = emb.select("e").distinct().count()
+    assert abs(g2["distinct_est"] - exact) <= max(2, TOL * exact)
