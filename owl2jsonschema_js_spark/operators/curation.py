@@ -42,6 +42,7 @@ __all__ = [
     "pii_scan",
     "pii_redact",
     "hash_sample",
+    "hash_sample_exact_k",
     "mixture_rates",
 ]
 
@@ -350,6 +351,82 @@ def hash_sample(docs: DataFrame, rate: float | dict[str, float],
             raise ValueError(f"rate out of [0,1]: {rate}")
         r = F.lit(float(rate))
     return docs.where(u < r)
+
+
+def hash_sample_exact_k(docs: DataFrame, k: int,
+                        key_col: str = "doc_id",
+                        stratum_col: str | None = None,
+                        salt: int = 0, slack: float = 6.0) -> DataFrame:
+    """EXACTLY ``k`` rows (per stratum, if ``stratum_col`` is given), chosen
+    deterministically: the k rows whose LCG value is smallest, ties broken by
+    key — the count-based sibling of :func:`hash_sample` for mixture plans
+    scheduled in documents rather than rates ("exactly 100k docs per
+    source"). Same key contract (integral via pmod / string via the
+    SQL-reproducible polynomial fold; other dtypes raise; NULL keys drop),
+    same ``salt`` = independent draws. Strata holding fewer than k rows keep
+    everything.
+
+    NOT incremental-stable, by construction: the k-th-smallest threshold
+    moves when the corpus grows, so re-running over a grown corpus may swap
+    members. Pipelines needing re-run stability use the rate lane
+    (:func:`hash_sample`), whose verdict is per-key.
+
+    Scale shape — no full-table rank: a global/per-stratum ``row_number``
+    funnels each stratum through ONE reducer (a 100 TB stratum = one-task
+    sort). Instead:
+
+      1. one O(strata) aggregate gets per-stratum row counts (driver dict),
+      2. a ROW-LOCAL filter keeps u < (k + slack*sqrt(k) + 10)/n — expected
+         candidates k + slack·√k, so P(shortfall) ≈ exp(-slack²/2) (~1e-8
+         at the default 6),
+      3. the exact rank runs on the small candidate set only,
+      4. a second O(strata) count VERIFIES no stratum fell short; any that
+         did (adversarial u clustering, never observed) re-enters at rate
+         1.0 — correctness never rests on the probabilistic bound.
+
+    Deterministic for fixed inputs at every step (the fallback is decided by
+    exact counts, not sampling). The selected SET has an ANSI-SQL twin
+    (QUALIFY row_number() OVER (... ORDER BY lcg, key) <= k) — parity-tested
+    in tests/test_curation.py."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dtype = docs.schema[key_col].dataType.simpleString()
+    u = _lcg_uniform(_lcg_key(F.col(key_col), dtype, "hash_sample_exact_k"),
+                     salt)
+    strat = (F.col(stratum_col) if stratum_col
+             else F.lit("__all")).alias("__strat")
+    base = docs.withColumn("__u", u).withColumn("__strat", strat)
+    totals = {r["__strat"]: r["n"] for r in
+              base.groupBy("__strat").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    want = k + slack * (k ** 0.5) + 10
+
+    def rate_for(counts: dict[str, float]) -> Column:
+        expr = None
+        for s, n in counts.items():
+            r = 1.0 if n <= want else want / n
+            cond = F.col("__strat").eqNullSafe(F.lit(s))
+            expr = (F.when(cond, F.lit(r)) if expr is None
+                    else expr.when(cond, F.lit(r)))
+        return expr.otherwise(F.lit(1.0)) if expr is not None else F.lit(1.0)
+
+    cand = base.where(F.col("__u") < rate_for(totals))
+    have = {r["__strat"]: r["n"] for r in
+            cand.groupBy("__strat").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+    short = [s for s, n in totals.items()
+             if have.get(s, 0) < min(k, n)]
+    if short:  # exact-count fallback — never rests on the tail bound
+        cond = None
+        for s in short:
+            c = F.col("__strat").eqNullSafe(F.lit(s))
+            cond = c if cond is None else (cond | c)
+        cand = base.where(cond).unionByName(
+            cand.where(~cond if cond is not None else F.lit(True)))
+    w = Window.partitionBy("__strat").orderBy("__u", key_col)
+    return (cand.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .drop("__u", "__strat", "__rk"))
 
 
 def pack_shards(docs: DataFrame, budget_tokens: int,

@@ -539,3 +539,52 @@ def test_mixture_to_sample_end_to_end(spark, docs):
     out = hash_sample(docs, rates, stratum_col="source")
     srcs = {r["source"] for r in out.select("source").distinct().collect()}
     assert srcs <= {"src0", "src1"} and srcs
+
+
+def test_hash_sample_exact_k_per_stratum_sql_parity(spark, docs):
+    """Exactly k per source, deterministic, equal to the QUALIFY-style SQL
+    twin (k smallest LCG values per stratum, ties by key)."""
+    from owl2jsonschema_js_spark.operators.curation import hash_sample_exact_k
+
+    out = hash_sample_exact_k(docs, 7, stratum_col="source")
+    got = sorted(r["doc_id"] for r in out.collect())
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in per.values()) and len(per) == 20
+    again = sorted(r["doc_id"] for r in
+                   hash_sample_exact_k(docs, 7, stratum_col="source").collect())
+    assert got == again
+
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(f"""
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ((doc_id % 2147483648 + 2147483648) % 2147483648
+                             * 1103515245 + 12345) % 2147483648, doc_id) AS rk
+          FROM read_parquet('{SF}/documents.parquet'))
+        WHERE rk <= 7 ORDER BY doc_id
+    """).fetchall()]
+    assert got == want
+
+
+def test_hash_sample_exact_k_global_smallk_and_fallback(spark, docs):
+    from owl2jsonschema_js_spark.operators.curation import hash_sample_exact_k
+
+    n50 = hash_sample_exact_k(docs, 50)
+    assert n50.count() == 50
+    # k >= stratum size keeps everything
+    assert hash_sample_exact_k(docs, 10 ** 6).count() == docs.count()
+    # a negative slack starves the candidate filter -> the exact-count
+    # fallback path runs; the selected SET must be slack-invariant
+    a = sorted(r["doc_id"] for r in n50.collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample_exact_k(docs, 50, slack=-6.0).collect())
+    assert a == b
+    # string keys ride the polynomial fold; bad dtypes raise
+    sdf = spark.createDataFrame([(f"d-{i}",) for i in range(40)], "doc_id string")
+    assert hash_sample_exact_k(sdf, 5).count() == 5
+    dbl = spark.createDataFrame([(1.5,)], "doc_id double")
+    with pytest.raises(ValueError, match="hash_sample_exact_k"):
+        hash_sample_exact_k(dbl, 1)
