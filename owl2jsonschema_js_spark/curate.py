@@ -9,7 +9,8 @@ dedup          MinHash-LSH near-dup survivors (one doc kept per cluster)
 substring      maximal cross-doc repeated byte spans >= --min-len
 decontaminate  n-gram overlap vs --eval set (add --min-len for exact spans)
 pii            per-doc PII counts; --redact writes the scrubbed corpus
-sample         deterministic LCG sample; --rate or --rates src0=0.5,src1=0.1
+sample         deterministic LCG sample; --rate, --rates src0=0.5,src1=0.1,
+               or --k N (exactly N per stratum; --no-strata for N total)
 pack           token-budget shard assignment (exact global cumsum)
 split          leakage-safe train/test split (near-dup clusters move as units)
 ann-build      create/grow a persisted IVF index (--index root; --grow appends)
@@ -79,6 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sample"); common(p)
     p.add_argument("--rate", type=float, default=None)
     p.add_argument("--rates", type=_rates, default=None)
+    p.add_argument("--k", type=int, default=None,
+                   help="exact-count mode: keep exactly K rows per "
+                        "--stratum-col (or K total with --no-strata) "
+                        "instead of a rate")
+    p.add_argument("--no-strata", action="store_true",
+                   help="with --k: one global draw instead of per-stratum")
     p.add_argument("--stratum-col", default="source")
     p.add_argument("--salt", type=int, default=0)
 
@@ -210,17 +217,27 @@ def main(argv: list[str] | None = None) -> int:
                    "pii_hits": int(agg["t"] or 0),
                    "docs_with_pii": int(agg["d"] or 0)}
     elif args.cmd == "sample":
-        from owl2jsonschema_js_spark.operators.curation import hash_sample
-        if (args.rate is None) == (args.rates is None):
-            ap.error("pass exactly one of --rate / --rates")
-        rate = args.rate if args.rate is not None else args.rates
-        out = hash_sample(docs, rate, key_col=args.id_col,
-                          stratum_col=args.stratum_col if args.rates else None,
-                          salt=args.salt)
+        from owl2jsonschema_js_spark.operators.curation import (
+            hash_sample, hash_sample_exact_k)
+        n_modes = sum(x is not None for x in (args.rate, args.rates, args.k))
+        if n_modes != 1:
+            ap.error("pass exactly one of --rate / --rates / --k")
+        if args.k is not None:
+            out = hash_sample_exact_k(
+                docs, args.k, key_col=args.id_col,
+                stratum_col=None if args.no_strata else args.stratum_col,
+                salt=args.salt)
+        else:
+            rate = args.rate if args.rate is not None else args.rates
+            out = hash_sample(docs, rate, key_col=args.id_col,
+                              stratum_col=args.stratum_col if args.rates else None,
+                              salt=args.salt)
         out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         summary = {"cmd": "sample", "docs_in": n_in, "kept": n_out,
                    "salt": args.salt}
+        if args.k is not None:
+            summary["k"] = args.k
     elif args.cmd == "split":
         from owl2jsonschema_js_spark.operators.curation import leakage_safe_split
         from owl2jsonschema_js_spark.operators.dedup import minhash_lsh_pairs

@@ -4,6 +4,7 @@ runs in-process against the driver corpus and writes checkable parquet."""
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001/documents.parquet"
 
@@ -236,3 +237,20 @@ def test_cli_profile_drift_against_baseline(spark, tmp_path, capsys):
                             "--drift-against", base_store])
     assert s_churn["drift"]["source"]["new_value_rate"] >= 0.95
     assert s_churn["drift"]["lang"]["new_value_rate"] <= 0.05
+
+
+def test_cli_sample_exact_k(spark, tmp_path, capsys):
+    out = str(tmp_path / "ek")
+    s = _run(capsys, ["sample", "--input", SF, "--output", out, "--k", "5"])
+    kept = spark.read.parquet(out)
+    per = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert s["kept"] == 100 and all(n == 5 for n in per.values())
+    out2 = str(tmp_path / "ekg")
+    s2 = _run(capsys, ["sample", "--input", SF, "--output", out2,
+                       "--k", "30", "--no-strata"])
+    assert s2["kept"] == 30
+    from owl2jsonschema_js_spark.curate import main
+    with pytest.raises(SystemExit):   # --k and --rate conflict
+        main(["sample", "--input", SF, "--output", str(tmp_path / "x"),
+              "--k", "5", "--rate", "0.5"])
