@@ -23,6 +23,7 @@ from owl2jsonschema_js_spark.runner import ValidationRunner, ValidationResult
 from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
 from owl2jsonschema_js_spark.sources import TableIO
 from owl2jsonschema_js_spark.evolve import delta_plan, merge_verdicts, plan_diff
+from owl2jsonschema_js_spark.suggest import suggest_constraints
 
 __version__ = "0.2.0"
 
@@ -39,4 +40,5 @@ __all__ = [
     "plan_diff",
     "delta_plan",
     "merge_verdicts",
+    "suggest_constraints",
 ]

@@ -1,0 +1,73 @@
+"""Constraint bootstrapping (suggest.py): the proposed doc is a sound
+observation of the profiled data (revalidating the same snapshot yields ZERO
+violations) and a real constraint for the next increment (planted drift is
+caught with the right rule ids)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from owl2jsonschema_js_spark import ConstraintSpec, ValidationRunner, compile_spec
+from owl2jsonschema_js_spark.datagen import gen_transcripts_pandas
+from owl2jsonschema_js_spark.suggest import suggest_constraints
+
+
+def _fixture(spark):
+    return gen_transcripts_pandas(n_convs=40, seed=7).to_spark(spark)
+
+
+def test_suggested_doc_revalidates_clean(spark):
+    """Every suggested keyword is an observed fact, so the engine's own
+    compile+run over the SAME data must report zero violations."""
+    df = _fixture(spark)
+    doc = suggest_constraints(df, columns=["conv_id", "turn_idx", "role", "text"])
+    json.dumps(doc, sort_keys=True)  # canonical + serializable
+    plan = compile_spec(ConstraintSpec.parse(doc), df.schema)
+    res = ValidationRunner(plan).run(df)
+    assert res.violations.count() == 0
+    assert all(v["pass"] for v in res.collect_verdicts().values())
+
+
+def test_suggested_doc_catches_planted_drift(spark):
+    df = _fixture(spark)
+    doc = suggest_constraints(df, columns=["conv_id", "turn_idx", "role", "text"])
+    assert "enum" in doc["properties"]["role"]          # low-cardinality
+    assert "enum" not in doc["properties"].get("text", {})
+    assert "conv_id" in doc["required"]
+    plan_schema = df.schema
+    plan = compile_spec(ConstraintSpec.parse(doc), plan_schema)
+
+    drifted = df.unionByName(spark.createDataFrame(
+        [("zz-new", 99999, "intruder_role", None, "t0",
+          df.select("ts").first()["ts"])],
+        df.schema))
+    res = ValidationRunner(plan).run(drifted)
+    got = {r["rule_id"] for r in res.violations.collect()}
+    assert "role.enum" in got                           # new enum value
+    assert "turn_idx.range" in got                      # out of observed range
+    assert "conv_id.length" in got                      # new id shape
+    # the fixture's text column has one observed NULL, so the suggester
+    # correctly did NOT mark it required — the drifted row's NULL text is
+    # legal under the bootstrapped spec
+    assert "text" not in doc["required"]
+
+
+def test_enum_bound_and_determinism(spark):
+    df = _fixture(spark)
+    a = suggest_constraints(df, columns=["role", "text"], enum_max=2)
+    # role has more than 2 distinct values -> falls back to length bounds
+    assert "enum" not in a["properties"]["role"]
+    assert "minLength" in a["properties"]["role"]
+    b = suggest_constraints(df, columns=["role", "text"], enum_max=2)
+    assert json.dumps(a, sort_keys=True) == json.dumps(b, sort_keys=True)
+
+
+def test_provenance_and_empty_columns_raise(spark):
+    import pytest
+
+    df = _fixture(spark)
+    doc = suggest_constraints(df, columns=["role"])
+    assert doc["x-suggested-from"]["n_rows"] == df.count()
+    assert doc["x-suggested-from"]["null_counts"]["role"] == 0
+    with pytest.raises(ValueError):
+        suggest_constraints(df.select(), columns=[])
