@@ -36,8 +36,17 @@ from pyspark.sql import SparkSession
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="owl2jsonschema_js_spark")
     ap.add_argument("--input", required=True)
-    ap.add_argument("--constraints", required=True,
+    ap.add_argument("--constraints", default=None,
                     help="draft-4 JSON doc path, or a directory of per-class docs")
+    ap.add_argument("--suggest", metavar="OUT_JSON", default=None,
+                    help="bootstrap mode: instead of validating, profile the "
+                         "input and write a suggested draft-4 constraint doc "
+                         "(suggest.suggest_constraints) to OUT_JSON — the "
+                         "file --constraints accepts on the next run")
+    ap.add_argument("--suggest-columns", default=None,
+                    help="with --suggest: comma list of columns (default all)")
+    ap.add_argument("--enum-max", type=int, default=20,
+                    help="with --suggest: enum proposal cardinality cap")
     ap.add_argument("--root", default=None,
                     help="with a --constraints directory: the class doc to "
                          "validate as (ancestors merged transitively)")
@@ -45,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", default=None)
     ap.add_argument("--manifest", default=None)
     ap.add_argument("--n-parts", type=int, default=64)
+    ap.add_argument("--key-cols", default="conv_id,turn_idx",
+                    help="the two DISTINCT row-identity columns violations "
+                         "key on (group key first); for a single-key table "
+                         "pass the key plus any second column (uniqueness is "
+                         "then over the pair, implied by the key alone)")
+    ap.add_argument("--part-col", default="part",
+                    help="partition column; derived from the first key "
+                         "column's hash when absent from the input")
     args = ap.parse_args(argv)
 
     from owl2jsonschema_js_spark.checkpoint import Manifest, ResumableValidator
@@ -53,10 +70,26 @@ def main(argv: list[str] | None = None) -> int:
     from owl2jsonschema_js_spark.sources import TableIO
     from owl2jsonschema_js_spark.spec import ConstraintSpec
 
+    if (args.constraints is None) == (args.suggest is None):
+        ap.error("pass exactly one of --constraints (validate) / "
+                 "--suggest OUT_JSON (bootstrap a constraint doc)")
+
     spark = SparkSession.builder.appName("owl2jsonschema_js_spark-validate").getOrCreate()
     tio = TableIO(spark, args.input)
     snapshot = tio.snapshot_id()
     df = tio.read()
+
+    if args.suggest:
+        from owl2jsonschema_js_spark.suggest import suggest_constraints
+        cols = ([c for c in args.suggest_columns.split(",") if c]
+                if args.suggest_columns else None)
+        doc = suggest_constraints(df, columns=cols, enum_max=args.enum_max)
+        doc["x-suggested-from"]["snapshot_id"] = snapshot
+        blob = json.dumps(doc, sort_keys=True, indent=1)
+        with open(args.suggest, "w") as f:
+            f.write(blob)
+        print(blob)
+        return 0
 
     import os
 
@@ -89,16 +122,26 @@ def main(argv: list[str] | None = None) -> int:
 
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
 
+    key_cols = tuple(c for c in args.key_cols.split(",") if c)
+    if len(key_cols) != 2 or key_cols[0] == key_cols[1]:
+        ap.error("--key-cols wants exactly two DISTINCT column names, "
+                 f"got {args.key_cols!r}")
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        ap.error(f"--key-cols not in input: {missing}")
+
     if args.manifest:
         manifest = Manifest.load(args.manifest)
-        rv = ResumableValidator(plan, manifest, snapshot, n_parts=args.n_parts)
+        rv = ResumableValidator(plan, manifest, snapshot, n_parts=args.n_parts,
+                                part_col=args.part_col, key_cols=key_cols)
         verdicts = rv.run(df, catalog=catalog)
         if args.output:
             runner = rv.runner
             res = runner.run(runner._with_partition(df), catalog=catalog)
             res.violations.write.mode("overwrite").parquet(args.output + "/violations")
     else:
-        runner = ValidationRunner(plan, n_parts=args.n_parts)
+        runner = ValidationRunner(plan, n_parts=args.n_parts,
+                                  part_col=args.part_col, key_cols=key_cols)
         res = runner.run(df, catalog=catalog)
         verdicts = res.collect_verdicts()
         if args.output:

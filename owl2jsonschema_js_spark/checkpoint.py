@@ -98,11 +98,13 @@ class ResumableValidator:
     duplicates, verdicts diverging from an uninterrupted run's."""
 
     def __init__(self, plan: RulePlan, manifest: Manifest, snapshot_id: str,
-                 part_col: str = "part", n_parts: int = 16):
+                 part_col: str = "part", n_parts: int = 16,
+                 key_cols: tuple[str, str] = ("conv_id", "turn_idx")):
         self.plan = plan
         self.manifest = manifest
         self.snapshot_id = snapshot_id
-        self.runner = ValidationRunner(plan, part_col=part_col, n_parts=n_parts)
+        self.runner = ValidationRunner(plan, part_col=part_col,
+                                       key_cols=key_cols, n_parts=n_parts)
         self.part_col = part_col
 
     def run(self, df: DataFrame, catalog: DataFrame | None = None,

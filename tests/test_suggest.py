@@ -71,3 +71,57 @@ def test_provenance_and_empty_columns_raise(spark):
     assert doc["x-suggested-from"]["null_counts"]["role"] == 0
     with pytest.raises(ValueError):
         suggest_constraints(df.select(), columns=[])
+
+
+def test_cli_suggest_then_validate_roundtrip(spark, tmp_path, capsys):
+    """spark-submit loop: --suggest writes a doc, the next run validates
+    with it — clean on the same snapshot."""
+    from owl2jsonschema_js_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    _fixture(spark).write.parquet(src)
+    doc_path = str(tmp_path / "suggested.json")
+    assert main(["--input", src, "--suggest", doc_path,
+                 "--suggest-columns", "conv_id,turn_idx,role,text"]) == 0
+    capsys.readouterr()
+    with open(doc_path) as f:
+        doc = json.load(f)
+    assert doc["properties"]["role"].get("enum")
+    assert "snapshot_id" in doc["x-suggested-from"]
+
+    out = str(tmp_path / "out")
+    assert main(["--input", src, "--constraints", doc_path,
+                 "--output", out]) == 0
+    verdicts = json.loads(capsys.readouterr().out)
+    assert all(v["pass"] for v in verdicts["verdicts"].values())
+
+    import pytest
+    with pytest.raises(SystemExit):   # both modes at once
+        main(["--input", src, "--constraints", doc_path,
+              "--suggest", doc_path])
+    with pytest.raises(SystemExit):   # neither mode
+        main(["--input", src])
+
+
+def test_cli_key_cols_validates_non_transcript_table(spark, tmp_path, capsys):
+    """--key-cols frees the CLI from the transcripts key: suggest + validate
+    a documents-shaped table keyed on doc_id."""
+    from owl2jsonschema_js_spark.__main__ import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    doc_path = str(tmp_path / "docdoc.json")
+    assert main(["--input", src, "--suggest", doc_path,
+                 "--suggest-columns", "doc_id,lang,source,n_chars"]) == 0
+    capsys.readouterr()
+    assert main(["--input", src, "--constraints", doc_path,
+                 "--key-cols", "doc_id,lang"]) == 0
+    verdicts = json.loads(capsys.readouterr().out)
+    assert all(v["pass"] for v in verdicts["verdicts"].values())
+
+    import pytest
+    with pytest.raises(SystemExit):   # duplicate key cols
+        main(["--input", src, "--constraints", doc_path,
+              "--key-cols", "doc_id,doc_id"])
+    with pytest.raises(SystemExit):   # unknown key col
+        main(["--input", src, "--constraints", doc_path,
+              "--key-cols", "doc_id,nope"])
