@@ -54,11 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", default=None)
     ap.add_argument("--manifest", default=None)
     ap.add_argument("--n-parts", type=int, default=64)
-    ap.add_argument("--key-cols", default="conv_id,turn_idx",
+    ap.add_argument("--key-cols", default=None,
                     help="the two DISTINCT row-identity columns violations "
-                         "key on (group key first); for a single-key table "
-                         "pass the key plus any second column (uniqueness is "
-                         "then over the pair, implied by the key alone)")
+                         "key on (group key first; default conv_id,turn_idx); "
+                         "for a single-key table pass the key plus any second "
+                         "column (uniqueness is then over the pair, implied "
+                         "by the key alone). With --suggest: also proposes "
+                         "observed table rules (uniqueItems/contiguous/"
+                         "cardinality) over this key")
     ap.add_argument("--part-col", default="part",
                     help="partition column; derived from the first key "
                          "column's hash when absent from the input")
@@ -79,11 +82,28 @@ def main(argv: list[str] | None = None) -> int:
     snapshot = tio.snapshot_id()
     df = tio.read()
 
+    def parse_key_cols(required: bool):
+        """(k0, k1) or None. An EXPLICIT --key-cols must resolve (missing
+        columns error); the default pair applies only where present —
+        suggest mode silently skips table rules on tables without it."""
+        raw = args.key_cols or "conv_id,turn_idx"
+        kc = tuple(c for c in raw.split(",") if c)
+        if len(kc) != 2 or kc[0] == kc[1]:
+            ap.error("--key-cols wants exactly two DISTINCT column names, "
+                     f"got {raw!r}")
+        missing = [c for c in kc if c not in df.columns]
+        if missing:
+            if args.key_cols or required:
+                ap.error(f"--key-cols not in input: {missing}")
+            return None
+        return kc
+
     if args.suggest:
         from owl2jsonschema_js_spark.suggest import suggest_constraints
         cols = ([c for c in args.suggest_columns.split(",") if c]
                 if args.suggest_columns else None)
-        doc = suggest_constraints(df, columns=cols, enum_max=args.enum_max)
+        doc = suggest_constraints(df, columns=cols, enum_max=args.enum_max,
+                                  key_cols=parse_key_cols(required=False))
         doc["x-suggested-from"]["snapshot_id"] = snapshot
         blob = json.dumps(doc, sort_keys=True, indent=1)
         with open(args.suggest, "w") as f:
@@ -122,13 +142,7 @@ def main(argv: list[str] | None = None) -> int:
 
     catalog = spark.read.parquet(args.catalog) if args.catalog else None
 
-    key_cols = tuple(c for c in args.key_cols.split(",") if c)
-    if len(key_cols) != 2 or key_cols[0] == key_cols[1]:
-        ap.error("--key-cols wants exactly two DISTINCT column names, "
-                 f"got {args.key_cols!r}")
-    missing = [c for c in key_cols if c not in df.columns]
-    if missing:
-        ap.error(f"--key-cols not in input: {missing}")
+    key_cols = parse_key_cols(required=True)
 
     if args.manifest:
         manifest = Manifest.load(args.manifest)

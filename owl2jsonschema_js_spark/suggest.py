@@ -45,7 +45,8 @@ _TYPE_MAP = {
 
 def suggest_constraints(df: DataFrame, columns: list[str] | None = None,
                         enum_max: int = 20,
-                        title: str = "suggested-from-profile") -> dict:
+                        title: str = "suggested-from-profile",
+                        key_cols: tuple[str, str] | None = None) -> dict:
     """One observation pass -> a canonical draft-4 dict (sort-stable,
     JSON-serializable) with, per column and only where observed:
 
@@ -59,7 +60,15 @@ def suggest_constraints(df: DataFrame, columns: list[str] | None = None,
                               bounded ``distinct().limit(enum_max+1)``).
 
     ``x-suggested-from`` records row count and per-column null counts —
-    provenance the spec parser ignores and a reviewer reads."""
+    provenance the spec parser ignores and a reviewer reads.
+
+    ``key_cols=(group, seq)`` additionally proposes the TABLE-scope rules
+    the runner evaluates (``x-table-constraints``), each only if observed:
+    ``uniqueItems [group, seq]`` when no key repeats, ``contiguous group``
+    when every group's seq runs 0..n-1 under the runner's own rule, and
+    ``minItems/maxItems {per: group}`` from the observed group-size band.
+    Cost: one key-width groupBy (the exact shuffle shape the runner's
+    uniqueness pass uses) + two O(1)-row driver aggregates."""
     cols = columns or [c for c in df.columns]
     if not cols:
         raise ValueError("suggest_constraints needs at least one column")
@@ -108,10 +117,39 @@ def suggest_constraints(df: DataFrame, columns: list[str] | None = None,
                 sub["maxLength"] = int(row[f"__max_{i}"])
         if sub:
             props[c] = sub
-    return {
+    doc = {
         "title": title,
         "type": "object",
         "properties": props,
         "required": sorted(required),
         "x-suggested-from": {"n_rows": n_rows, "null_counts": null_counts},
     }
+    if key_cols and n_rows:
+        k0, k1 = key_cols
+        # contiguity (seq runs 0..n-1) is only meaningful — and only
+        # type-checks — for an integral sequence column; a string second key
+        # still gets uniqueness + the group-size band
+        seq_integral = df.schema[k1].dataType.simpleString() in (
+            "tinyint", "smallint", "int", "bigint")
+        keyed = df.groupBy(k0, k1).agg(F.count(F.lit(1)).alias("__c"))
+        kmax = int(keyed.agg(F.max("__c")).first()[0])
+        gaggs = [F.sum("__c").alias("__n")]
+        if seq_integral:
+            gaggs += [F.count(k1).alias("__nd"),
+                      F.min(k1).alias("__mn"), F.max(k1).alias("__mx")]
+        grp = keyed.groupBy(k0).agg(*gaggs)
+        saggs = [F.min("__n").alias("lo"), F.max("__n").alias("hi")]
+        if seq_integral:
+            saggs.append(
+                F.max(F.when((F.col("__mn") != 0)
+                             | (F.col("__mx") != F.col("__nd") - 1), 1)
+                      .otherwise(0)).alias("bad_contig"))
+        srow = grp.agg(*saggs).first()
+        tc: dict = {"minItems": {"per": k0, "value": int(srow["lo"])},
+                    "maxItems": {"per": k0, "value": int(srow["hi"])}}
+        if kmax == 1:
+            tc["uniqueItems"] = [k0, k1]
+        if seq_integral and int(srow["bad_contig"] or 0) == 0:
+            tc["contiguous"] = k0
+        doc["x-table-constraints"] = tc
+    return doc

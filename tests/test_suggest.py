@@ -125,3 +125,60 @@ def test_cli_key_cols_validates_non_transcript_table(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):   # unknown key col
         main(["--input", src, "--constraints", doc_path,
               "--key-cols", "doc_id,nope"])
+
+
+def test_table_rules_from_clean_key(spark):
+    """key_cols on observed-clean data proposes uniqueItems + contiguous +
+    the group-size band; the engine revalidates the SAME data clean with a
+    matching runner key."""
+    clean = spark.sql("""
+        SELECT concat('c', CAST(id % 20 AS STRING)) AS conv_id,
+               CAST(id DIV 20 AS INT) AS turn_idx,
+               'user' AS role, 'hello world' AS text
+        FROM range(0, 200)""")
+    doc = suggest_constraints(clean, columns=["conv_id", "turn_idx", "role"],
+                              key_cols=("conv_id", "turn_idx"))
+    tc = doc["x-table-constraints"]
+    assert tc["uniqueItems"] == ["conv_id", "turn_idx"]
+    assert tc["contiguous"] == "conv_id"
+    assert tc["minItems"] == {"per": "conv_id", "value": 10}
+    assert tc["maxItems"] == {"per": "conv_id", "value": 10}
+    plan = compile_spec(ConstraintSpec.parse(doc), clean.schema)
+    res = ValidationRunner(plan).run(clean)
+    assert res.violations.count() == 0
+
+    # a duplicated + gapped increment trips the bootstrapped table rules
+    bad = clean.unionByName(spark.createDataFrame(
+        [("c0", 0, "user", "hello world"), ("c99", 5, "user", "hi")],
+        clean.schema))
+    got = {r["rule_id"] for r in
+           ValidationRunner(plan).run(bad).violations.collect()}
+    assert "table.unique" in got and "table.contiguity" in got
+    assert "table.cardinality" in got          # c99 has 1 < minItems 10
+
+
+def test_table_rules_self_gate_on_observed_violations(spark):
+    """The transcript fixture carries injected duplicates/gaps — the
+    suggester must NOT propose rules the data itself breaks (revalidation
+    stays clean), while the observed group-size band still rides."""
+    df = _fixture(spark)
+    doc = suggest_constraints(df, columns=["conv_id", "turn_idx", "role"],
+                              key_cols=("conv_id", "turn_idx"))
+    tc = doc["x-table-constraints"]
+    assert "uniqueItems" not in tc             # fixture plants duplicates
+    assert "contiguous" not in tc              # fixture plants a gap
+    assert tc["minItems"]["per"] == "conv_id"
+    plan = compile_spec(ConstraintSpec.parse(doc), df.schema)
+    assert ValidationRunner(plan).run(df).violations.count() == 0
+
+
+def test_string_seq_key_skips_contiguity(spark):
+    """A string second key column must not trip an int cast in the
+    contiguity probe — uniqueness and the size band still propose."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc = suggest_constraints(docs, columns=["doc_id", "lang"],
+                              key_cols=("doc_id", "lang"))
+    tc = doc["x-table-constraints"]
+    assert tc["uniqueItems"] == ["doc_id", "lang"]
+    assert "contiguous" not in tc
+    assert tc["minItems"] == {"per": "doc_id", "value": 1}
