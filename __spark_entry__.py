@@ -704,6 +704,29 @@ def q_sketch_distinct(spark, sf_dir):
     return sketch_estimates(merged).orderBy("column")
 
 
+def q_suggest_revalidate(spark, sf_dir):
+    """Constraint bootstrapping loop end-to-end (suggest.py): propose a
+    draft-4 doc from the observed documents table (row keywords + table
+    rules over (doc_id, lang)), compile it with the engine's own pipeline,
+    revalidate the same snapshot — clean by construction — and return the
+    per-rule verdict rollup (one row per compiled rule, n_violations all 0).
+    Deterministic; the sound/catching properties are pytest-gated
+    (tests/test_suggest.py); no SQL oracle (the deliverable is the engine's
+    own doc->plan->verdict loop, not a relational result)."""
+    from owl2jsonschema_js_spark import (ConstraintSpec, ValidationRunner,
+                                         compile_spec, suggest_constraints)
+
+    docs = _t(spark, sf_dir, "documents")
+    doc = suggest_constraints(docs,
+                              columns=["doc_id", "lang", "source", "n_chars"],
+                              key_cols=("doc_id", "lang"))
+    plan = compile_spec(ConstraintSpec.parse(doc), docs.schema)
+    res = ValidationRunner(plan, key_cols=("doc_id", "lang")).run(docs)
+    return (res.verdicts.groupBy("rule_id")
+            .agg(F.sum("n_violations").cast("bigint").alias("n_violations"))
+            .orderBy("rule_id"))
+
+
 def q_pii_scan(spark, sf_dir):
     """Corpus PII rollup over deterministically planted PII (the synthetic
     corpus carries none): per-class totals + docs-with-any-PII count, one
@@ -1406,6 +1429,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reproduce DataSketches register state, so correctness is the
         # exact-distinct tolerance + determinism pytest suite
         "sketch_distinct": q_sketch_distinct,
+        # round-5 addition: the constraint-bootstrapping loop (suggest ->
+        # compile -> revalidate clean); pytest-gated soundness, no SQL oracle
+        "suggest_revalidate": q_suggest_revalidate,
         # span-level lanes outside the 50-slot graded cap; each carries an
         # exact brute-force-oracle pytest (tests/test_substring.py) instead
         # of a registry row — their span outputs need the O(n·m) Python
