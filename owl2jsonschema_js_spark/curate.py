@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("dedup"); common(p)
     p.add_argument("--threshold", type=float, default=0.7)
+    p.add_argument("--keep-longest", action="store_true",
+                   help="survivor policy: keep each cluster's longest text "
+                        "(byte length; ties by largest id) instead of the "
+                        "min-id representative")
 
     p = sub.add_parser("substring"); common(p)
     p.add_argument("--min-len", type=int, default=50)
@@ -154,11 +158,14 @@ def main(argv: list[str] | None = None) -> int:
         pairs = minhash_lsh_pairs(docs, threshold=args.threshold,
                                   id_col=args.id_col,
                                   text_col=args.text_col).persist()
-        out = dedup_survivors(docs, pairs, id_col=args.id_col)
+        pr = F.octet_length(args.text_col) if args.keep_longest else None
+        out = dedup_survivors(docs, pairs, id_col=args.id_col,
+                              priority_col=pr)
         out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         summary = {"cmd": "dedup", "docs_in": n_in, "survivors": n_out,
-                   "dropped": n_in - n_out}
+                   "dropped": n_in - n_out,
+                   "policy": "longest" if args.keep_longest else "min_id"}
         pairs.unpersist()
     elif args.cmd == "substring":
         if args.min_coverage > 0:

@@ -507,11 +507,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20,
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame,
-                    id_col: str = "doc_id", max_iter: int = 20) -> DataFrame:
-    """Keep one document per near-dup cluster (the min-id representative) and
-    every unpaired document. Implemented as a left_anti join of the docs table
-    against the non-representative cluster members — the docs table is never
-    shuffled on anything but its id.
+                    id_col: str = "doc_id", max_iter: int = 20,
+                    priority_col=None) -> DataFrame:
+    """Keep one document per near-dup cluster and every unpaired document.
+    Implemented as a left_anti join of the docs table against the
+    non-surviving cluster members — the docs table is never shuffled on
+    anything but its id.
+
+    Survivor policy:
+
+    * default — the MIN-ID representative (the cluster label itself; zero
+      extra work, stable under re-runs);
+    * ``priority_col`` (a column name or Column expression over ``docs``,
+      e.g. ``F.octet_length('text')`` or a quality score) — the member with
+      the LARGEST priority survives, ties broken by largest id: real
+      pipelines keep the longest / highest-quality copy, not the smallest
+      id. Cost: one narrow (id, priority) join onto the cluster table + a
+      per-cluster max — O(cluster members), never the corpus. NULL
+      priorities lose to any non-NULL (struct ordering; tested).
 
     Cache ownership is internal: the loser-id set (ids only, tiny) is
     localCheckpoint'ed — materialized with truncated lineage — so the big
@@ -520,9 +533,20 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
     long-lived sessions (the checkpoint RDD itself is reclaimed by the
     ContextCleaner once the result is garbage-collected)."""
     members = dup_clusters(pairs, max_iter=max_iter)
-    losers = (members.where(F.col("id") != F.col("cluster_id"))
-              .select(F.col("id").alias(id_col))
-              .localCheckpoint(eager=True))
+    if priority_col is None:
+        losers = (members.where(F.col("id") != F.col("cluster_id"))
+                  .select(F.col("id").alias(id_col))
+                  .localCheckpoint(eager=True))
+    else:
+        pr = F.col(priority_col) if isinstance(priority_col, str) else priority_col
+        scored = members.join(
+            docs.select(F.col(id_col).alias("id"), pr.alias("__pr")), "id")
+        winners = (scored.groupBy("cluster_id")
+                   .agg(F.max(F.struct("__pr", "id")).alias("__w"))
+                   .select(F.col("__w.id").alias("id")))
+        losers = (members.join(winners, "id", "left_anti")
+                  .select(F.col("id").alias(id_col))
+                  .localCheckpoint(eager=True))
     members.unpersist()
     return docs.join(losers, id_col, "left_anti")
 

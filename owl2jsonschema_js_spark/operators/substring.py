@@ -260,7 +260,7 @@ def _merged_coverage(iv: list, total: int) -> float:
 def span_dedup_survivors(docs: DataFrame, min_len: int = 50, k: int = 16,
                          min_coverage: float = 0.5, max_bucket: int = 64,
                          id_col: str = "doc_id", text_col: str = "text",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20, priority_col=None) -> DataFrame:
     """Span-coverage dedup policy (the policy layer over
     :func:`substring_dups`, public semantics per Lee et al.): two docs are
     duplicates when the MERGED repeated spans between them cover at least
@@ -307,4 +307,5 @@ def span_dedup_survivors(docs: DataFrame, min_len: int = 50, k: int = 16,
                 yield pd.DataFrame({"a_id": keep_a, "b_id": keep_b})
 
     dup_pairs = per_pair.mapInPandas(judge, f"a_id {id_t}, b_id {id_t}")
-    return dedup_survivors(docs, dup_pairs, id_col=id_col, max_iter=max_iter)
+    return dedup_survivors(docs, dup_pairs, id_col=id_col, max_iter=max_iter,
+                           priority_col=priority_col)

@@ -222,3 +222,30 @@ def test_dup_clusters_empty_pairs_converges_immediately(spark):
     assert res2.count() == 0 and stats["mode"] == "driver"
     assert [f.name for f in res2.schema.fields] == ["id", "cluster_id"]
     res2.unpersist()
+
+
+def test_survivor_priority_policy(spark):
+    """priority_col keeps the LARGEST-priority member per cluster (ties by
+    largest id; NULL priority loses to any non-NULL); default stays min-id."""
+    from owl2jsonschema_js_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the much longer copy"), (3, "mid text"),
+         (10, "tie"), (11, "tie"),
+         (20, None), (21, "only non-null"),
+         (99, "unpaired")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "a_id long, b_id long")
+
+    default = {r["doc_id"] for r in dedup_survivors(docs, pairs).collect()}
+    assert default == {1, 10, 20, 99}          # min-id reps + unpaired
+
+    import pyspark.sql.functions as F
+    longest = {r["doc_id"] for r in dedup_survivors(
+        docs, pairs, priority_col=F.octet_length("text")).collect()}
+    assert longest == {2, 11, 21, 99}          # longest; tie -> max id;
+                                               # NULL loses
+    again = {r["doc_id"] for r in dedup_survivors(
+        docs, pairs, priority_col=F.octet_length("text")).collect()}
+    assert again == longest                    # deterministic
