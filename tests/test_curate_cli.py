@@ -254,3 +254,12 @@ def test_cli_sample_exact_k(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):   # --k and --rate conflict
         main(["sample", "--input", SF, "--output", str(tmp_path / "x"),
               "--k", "5", "--rate", "0.5"])
+
+
+def test_cli_dedup_keep_longest(spark, tmp_path, capsys):
+    out = str(tmp_path / "dl")
+    s = _run(capsys, ["dedup", "--input", SF, "--output", out,
+                      "--keep-longest"])
+    assert s["policy"] == "longest" and s["dropped"] > 0
+    kept = spark.read.parquet(out)
+    assert kept.count() == s["survivors"]
