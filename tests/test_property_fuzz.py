@@ -234,3 +234,36 @@ def test_fuzz_poly_fold_matches_python_reference(spark, keys):
     df = spark.createDataFrame([(k,) for k in keys], "k string")
     got = [r[0] for r in df.select(poly_fold(F.col("k"))).collect()]
     assert got == [ref(k) for k in keys], keys
+
+
+def test_exact_k_matches_bruteforce_on_random_corpora(spark):
+    """Property check: for random small corpora and random k, the selected
+    set equals the brute-force 'k smallest LCG values per stratum, ties by
+    key' reference — including strata smaller than k."""
+    import random
+
+    from owl2jsonschema_js_spark.operators.curation import (
+        _LCG_A, _LCG_C, _LCG_M, hash_sample_exact_k)
+
+    rng = random.Random(20260819)
+    for trial in range(4):
+        n = rng.randint(5, 120)
+        n_strata = rng.randint(1, 5)
+        k = rng.randint(1, 12)
+        ids = rng.sample(range(-500, 2000), n)
+        rows = [(i, f"s{rng.randrange(n_strata)}") for i in ids]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = sorted(r["doc_id"] for r in
+                     hash_sample_exact_k(df, k, stratum_col="source").collect())
+
+        def u(i):
+            return ((i % _LCG_M + _LCG_M) % _LCG_M * _LCG_A + _LCG_C) % _LCG_M
+
+        want = []
+        by = {}
+        for i, s in rows:
+            by.setdefault(s, []).append(i)
+        for s, members in by.items():
+            members.sort(key=lambda i: (u(i), i))
+            want.extend(members[:k])
+        assert got == sorted(want), (trial, n, n_strata, k)
