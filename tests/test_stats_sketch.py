@@ -201,3 +201,25 @@ def test_complex_types_sketch_via_injective_json(spark):
     g2 = sketch_estimates(sketch_profile(emb, ["e"])).collect()[0]
     exact = emb.select("e").distinct().count()
     assert abs(g2["distinct_est"] - exact) <= max(2, TOL * exact)
+
+
+def test_double_canonicalization_fuzz_exact_small_sets(spark):
+    """For small distinct sets the HLL sketch is EXACT (list/sparse mode),
+    so canonicalized double columns must match Spark's own distinct count
+    bit-for-bit — including +-0.0, NaN, infinities, denormals, and values
+    differing only in the last ulp."""
+    import math
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    specials = [0.0, -0.0, float("nan"), float("inf"), float("-inf"),
+                5e-324, -5e-324, 1.0, 1.0 + 2 ** -52]
+    for trial in range(3):
+        pool = specials + [rng.uniform(-1e6, 1e6) for _ in range(12)]
+        vals = [rng.choice(pool) for _ in range(200)]
+        df = spark.createDataFrame([(v, "p") for v in vals],
+                                   "d double, part string")
+        got = sketch_estimates(sketch_profile(df, ["d"])).collect()[0]
+        exact = df.select("d").distinct().count()
+        assert got["distinct_est"] == exact, (trial, got, exact, sorted(
+            {repr(v) for v in vals}))
